@@ -1,0 +1,260 @@
+"""Model blocks: interaction stack and hierarchical (pooling) stack.
+
+The reference copy-pastes ``InteractionGNNBlock`` and
+``HierarchicalGNNBlock`` into each pipeline with small deltas (survey §1
+note; e.g. 1-norm supernode init only in BC/gMRT:
+``Modules/BipartiteClassification/Models/HGNN_GMM.py:269`` vs
+``Modules/GNNEmbedding/Models/HGNN_GMM.py:256``).  Here each block exists
+once, parameterized by those deltas.
+
+The hierarchical block's GMM edge-cut pooling -- sklearn GMM fit + scipy
+fsolve + cuGraph connected components in the reference
+(``.../HGNN_GMM.py:184-234``) -- runs fully on device inside jit:
+masked EM (:mod:`ops.gmm`), bisection cut, min-label-propagation CC
+(:mod:`ops.connected`), with the ``score_cut`` EMA buffer as mutable
+module state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hierarchicalgnn_tpu.ops import gmm as gmm_ops
+from hierarchicalgnn_tpu.ops.connected import cluster_labels
+from hierarchicalgnn_tpu.ops.graph import Graph
+from hierarchicalgnn_tpu.ops.sddmm import edge_cosine_likelihood
+from hierarchicalgnn_tpu.ops.segment import (
+    gather_segment_sum, segment_mean,
+)
+from hierarchicalgnn_tpu.models.cells import HierarchicalGNNCell, InteractionGNNCell
+from hierarchicalgnn_tpu.models.dynamic_graph import DynamicGraphConstruction
+from hierarchicalgnn_tpu.models.mlp import MLP, MatchDims
+from hierarchicalgnn_tpu.utils.config import ArchConfig
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    """torch ``F.normalize`` semantics: x / max(||x||, eps)."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+def l1_normalize(x, axis=-1, eps=1e-12):
+    n = jnp.sum(jnp.abs(x), axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+class InteractionGNNBlock(nn.Module):
+    """Node/edge encoders + N interaction cells [+ embedding head].
+
+    (reference ``Modules/BipartiteClassification/Models/HGNN_GMM.py:23-99``,
+    ``Modules/EdgeClassifier/Models/IN.py:15-95``)
+    """
+
+    cfg: ArchConfig
+    iterations: int
+    emb: bool = True
+
+    @nn.compact
+    def __call__(self, x, graph: Graph):
+        cfg = self.cfg
+        node_encoder = nn.remat(MLP)(
+            hidden_size=cfg.hidden, output_size=cfg.latent,
+            hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
+            output_activation=cfg.hidden_activation,
+            hidden_activation=cfg.hidden_activation)
+        edge_encoder = nn.remat(MLP)(
+            hidden_size=cfg.hidden, output_size=cfg.latent,
+            hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
+            output_activation=cfg.hidden_activation,
+            hidden_activation=cfg.hidden_activation)
+
+        nodes = node_encoder(x)
+        edges = edge_encoder(
+            jnp.concatenate([x[graph.senders], x[graph.receivers]], -1))
+
+        if cfg.share_weight:
+            cell = InteractionGNNCell(self.cfg)
+            for _ in range(self.iterations):
+                nodes, edges = cell(nodes, edges, graph)
+        else:
+            for _ in range(self.iterations):
+                nodes, edges = InteractionGNNCell(self.cfg)(nodes, edges, graph)
+
+        if not self.emb:
+            return nodes, edges
+        output_layer = MLP(
+            hidden_size=cfg.hidden, output_size=cfg.emb_dim,
+            hidden_layers=cfg.output_layers, layer_norm=cfg.layernorm,
+            output_activation=None,
+            hidden_activation=cfg.hidden_output_activation)
+        embeddings = l2_normalize(output_layer(nodes))
+        return embeddings, nodes, edges
+
+
+class HierarchicalGNNBlock(nn.Module):
+    """GMM pooling -> dynamic super/bipartite graphs -> N hierarchical cells.
+
+    Variant deltas (survey §1):
+      * ``l1_norm_supernode_init``: BC/gMRT normalize node features with a
+        1-norm before the supernode init aggregation (BC ``HGNN_GMM.py:269``).
+      * ``emb_output``: the Embedding pipeline adds a final embedding head
+        and returns (embeddings, clusters) (GNNEmbedding ``HGNN_GMM.py:273-276``);
+        BC/gMRT return (nodes, supernodes, bipartite graph).
+    """
+
+    cfg: ArchConfig
+    l1_norm_supernode_init: bool = True
+    emb_output: bool = False
+
+    def clustering(self, score_cut_var, embeddings, graph: Graph, node_mask,
+                   training: bool):
+        """GMM edge-cut + connected components (reference ``HGNN_GMM.py:184-238``).
+
+        Runs under stop-gradient; updates the ``score_cut`` EMA buffer.
+        Returns (clusters int32[N] with -1 fill, n_clusters).
+        """
+        cfg = self.cfg
+        emb = jax.lax.stop_gradient(embeddings)
+        likelihood = edge_cosine_likelihood(
+            emb, graph.senders, graph.receivers, mask=graph.edge_mask)
+        gmm = gmm_ops.fit_gmm2(likelihood, graph.edge_mask, iters=cfg.gmm_iters)
+
+        # score_cut buffer: +inf until first fit, then EMA momentum 0.95.
+        sc = score_cut_var.value[0]
+        sc = jnp.where(jnp.isinf(sc), jnp.mean(gmm.means), sc)
+        cut, valid = gmm_ops.solve_cut(gmm, cfg.cluster_granularity)
+        momentum = 0.95
+        new_sc = jnp.where(valid, momentum * sc + (1 - momentum) * cut, sc)
+        if training and not self.is_initializing():
+            score_cut_var.value = new_sc[None]
+        sc_used = new_sc if training else sc
+
+        keep = graph.edge_mask & (likelihood >= sc_used)
+        n = embeddings.shape[0]
+        clusters, n_clusters = cluster_labels(
+            graph.senders, graph.receivers, keep, n,
+            min_cluster_size=cfg.min_cluster_size, node_mask=node_mask)
+
+        # Over-cut fallback: <=3 clusters -> recluster on the full graph
+        # (reference ``HGNN_GMM.py:222-232``).
+        fb_clusters, fb_n = cluster_labels(
+            graph.senders, graph.receivers, graph.edge_mask, n,
+            min_cluster_size=cfg.min_cluster_size, node_mask=node_mask)
+        use_fb = n_clusters <= 3
+        clusters = jnp.where(use_fb, fb_clusters, clusters)
+        n_clusters = jnp.where(use_fb, fb_n, n_clusters)
+        return clusters, n_clusters
+
+    @nn.compact
+    def __call__(self, embeddings, nodes, edges, graph: Graph,
+                 node_mask=None, training: bool = False):
+        cfg = self.cfg
+        n = nodes.shape[0]
+        if node_mask is None:
+            node_mask = jnp.ones((n,), bool)
+
+        score_cut = self.variable(
+            "buffers", "score_cut", lambda: jnp.full((1,), jnp.inf, jnp.float32))
+
+        supernode_encoder = nn.remat(MLP)(
+            hidden_size=cfg.hidden, output_size=cfg.latent - cfg.emb_dim,
+            hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
+            output_activation=cfg.hidden_activation,
+            hidden_activation=cfg.hidden_activation)
+        superedge_encoder = nn.remat(MLP)(
+            hidden_size=cfg.hidden, output_size=cfg.latent,
+            hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
+            output_activation=cfg.hidden_activation,
+            hidden_activation=cfg.hidden_activation)
+        super_graph_construction = DynamicGraphConstruction(
+            "sigmoid", k=cfg.supergraph_sparsity, sym=True, norm=True,
+            knn_block_size=cfg.knn_block_size)
+        bipartite_graph_construction = DynamicGraphConstruction(
+            "exp", k=cfg.bipartitegraph_sparsity, sym=False, norm=True,
+            return_logits=True, knn_block_size=cfg.knn_block_size)
+
+        # --- pooling ---
+        clusters, n_clusters = self.clustering(
+            score_cut, embeddings, graph, node_mask, training)
+        in_cluster = clusters >= 0
+        seg = jnp.where(in_cluster, clusters, 0)
+        means = segment_mean(embeddings, seg, cfg.max_clusters, mask=in_cluster)
+        means = l2_normalize(means)
+        cluster_valid = jnp.arange(cfg.max_clusters) < n_clusters
+        means = jnp.where(cluster_valid[:, None], means, 0.0)
+
+        # --- dynamic graphs over the pooled space ---
+        super_graph, super_weights = super_graph_construction(
+            means, means, training, src_mask=cluster_valid,
+            dst_mask=cluster_valid)
+        bipartite_graph, bipartite_weights, _ = bipartite_graph_construction(
+            embeddings, means, training, src_mask=node_mask,
+            dst_mask=cluster_valid)
+
+        # --- supernode / superedge initialization ---
+        init_nodes = l1_normalize(nodes) if self.l1_norm_supernode_init else nodes
+        agg = gather_segment_sum(
+            init_nodes, bipartite_graph.senders, bipartite_graph.receivers,
+            cfg.max_clusters, weights=bipartite_weights[:, 0],
+            mask=bipartite_graph.edge_mask)
+        supernodes = jnp.concatenate([means, supernode_encoder(agg)], -1)
+        superedges = superedge_encoder(jnp.concatenate(
+            [supernodes[super_graph.senders],
+             supernodes[super_graph.receivers]], -1))
+
+        # --- hierarchical message passing ---
+        if cfg.share_weight:
+            cell = HierarchicalGNNCell(cfg)
+            cells = [cell] * cfg.n_hierarchical_graph_iters
+        else:
+            cells = [HierarchicalGNNCell(cfg)
+                     for _ in range(cfg.n_hierarchical_graph_iters)]
+        for cell in cells:
+            nodes, edges, supernodes, superedges = cell(
+                nodes, edges, supernodes, superedges, graph,
+                (bipartite_graph, bipartite_weights),
+                (super_graph, super_weights))
+
+        aux = {"clusters": clusters, "n_clusters": n_clusters,
+               "cluster_valid": cluster_valid,
+               "score_cut": score_cut.value[0]}
+
+        if self.emb_output:
+            output_layer = MLP(
+                hidden_size=cfg.hidden, output_size=cfg.emb_dim,
+                hidden_layers=cfg.output_layers, layer_norm=cfg.layernorm,
+                output_activation=None,
+                hidden_activation=cfg.hidden_output_activation)
+            out_embeddings = l2_normalize(output_layer(nodes))
+            return out_embeddings, aux
+        return nodes, supernodes, (bipartite_graph, bipartite_weights), aux
+
+
+class GMRTEncoders(nn.Module):
+    """gMRT minimal encoders: single Dense layers instead of the deep IN
+    block (reference ``Modules/gMRT/Models/HGNN_GMM.py:292-313``)."""
+
+    cfg: ArchConfig
+
+    @nn.compact
+    def __call__(self, x, graph: Graph):
+        cfg = self.cfg
+        node_encoder = nn.remat(MatchDims)(
+            output_size=cfg.latent, layer_norm=cfg.layernorm,
+            output_activation=cfg.hidden_activation)
+        edge_encoder = nn.remat(MatchDims)(
+            output_size=cfg.latent, layer_norm=cfg.layernorm,
+            output_activation=cfg.hidden_activation)
+        output_layer = MatchDims(
+            output_size=cfg.emb_dim, layer_norm=cfg.layernorm,
+            output_activation=None)
+
+        nodes = node_encoder(x)
+        edges = edge_encoder(
+            jnp.concatenate([x[graph.senders], x[graph.receivers]], -1))
+        embeddings = l2_normalize(output_layer(nodes))
+        return embeddings, nodes, edges

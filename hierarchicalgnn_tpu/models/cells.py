@@ -1,0 +1,142 @@
+"""Message-passing cells.
+
+TPU re-designs of ``InteractionGNNCell`` and ``HierarchicalGNNCell``
+(reference ``Modules/gnn_utils.py:17-169``).  Aggregations are masked
+segment reductions (Pallas-dispatchable); each update is wrapped in
+``nn.remat`` mirroring the reference's pervasive gradient checkpointing
+(``Modules/gnn_utils.py:14-15``) so activation memory stays flat across
+the 6-14 iteration stacks.
+
+The hierarchical update order is semantic, not incidental: supernodes are
+computed from *old* nodes, then nodes from *new* supernodes
+(reference ``gnn_utils.py:162-167``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hierarchicalgnn_tpu.ops.segment import gather_segment_sum, segment_sum_hot
+from hierarchicalgnn_tpu.models.mlp import MLP
+from hierarchicalgnn_tpu.utils.config import ArchConfig
+
+
+def _edge_net(cfg: ArchConfig) -> MLP:
+    return MLP(hidden_size=cfg.hidden, output_size=cfg.latent,
+               hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
+               output_activation="Tanh",
+               hidden_activation=cfg.hidden_activation)
+
+
+def _node_net(cfg: ArchConfig) -> MLP:
+    return MLP(hidden_size=cfg.hidden, output_size=cfg.latent,
+               hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
+               output_activation=cfg.hidden_activation,
+               hidden_activation=cfg.hidden_activation)
+
+
+class InteractionGNNCell(nn.Module):
+    """One flat interaction-network iteration (reference ``gnn_utils.py:45-71``):
+
+      m_i   = sum_{e: recv(e)=i} edge_e          (masked segment sum)
+      n_i  <- MLP_n([n_i, m_i]) + n_i
+      e    <- MLP_e([n_src, n_recv, e]) + e
+    """
+
+    cfg: ArchConfig
+
+    @nn.compact
+    def __call__(self, nodes, edges, graph):
+        node_network = nn.remat(MLP)(
+            hidden_size=self.cfg.hidden, output_size=self.cfg.latent,
+            hidden_layers=self.cfg.nb_node_layer, layer_norm=self.cfg.layernorm,
+            output_activation=self.cfg.hidden_activation,
+            hidden_activation=self.cfg.hidden_activation)
+        edge_network = nn.remat(MLP)(
+            hidden_size=self.cfg.hidden, output_size=self.cfg.latent,
+            hidden_layers=self.cfg.nb_edge_layer, layer_norm=self.cfg.layernorm,
+            output_activation="Tanh",
+            hidden_activation=self.cfg.hidden_activation)
+
+        n = nodes.shape[0]
+        emask = graph.edge_mask
+        edge_messages = segment_sum_hot(
+            jnp.where(emask[:, None], edges, 0.0), graph.receivers, n)
+        nodes = node_network(jnp.concatenate([nodes, edge_messages], -1)) + nodes
+
+        edge_input = jnp.concatenate(
+            [nodes[graph.senders], nodes[graph.receivers], edges], -1)
+        edges = edge_network(edge_input) + edges
+        return nodes, edges
+
+
+class HierarchicalGNNCell(nn.Module):
+    """One hierarchical iteration (reference ``gnn_utils.py:119-169``).
+
+    Bipartite (hit<->supernode) messages are weighted graph convolutions:
+    per-edge weights from DynamicGraphConstruction multiply gathered
+    features before the segment sum; super-graph messages are weighted
+    superedge aggregations.
+    """
+
+    cfg: ArchConfig
+
+    @nn.compact
+    def __call__(self, nodes, edges, supernodes, superedges,
+                 graph, bipartite, super_graph):
+        """bipartite/super_graph: (Graph, weights[E,1]) tuples."""
+        cfg = self.cfg
+        node_network = nn.remat(MLP)(
+            hidden_size=cfg.hidden, output_size=cfg.latent,
+            hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
+            output_activation=cfg.hidden_activation,
+            hidden_activation=cfg.hidden_activation)
+        edge_network = nn.remat(MLP)(
+            hidden_size=cfg.hidden, output_size=cfg.latent,
+            hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
+            output_activation="Tanh", hidden_activation=cfg.hidden_activation)
+        supernode_network = nn.remat(MLP)(
+            hidden_size=cfg.hidden, output_size=cfg.latent,
+            hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
+            output_activation=cfg.hidden_activation,
+            hidden_activation=cfg.hidden_activation)
+        superedge_network = nn.remat(MLP)(
+            hidden_size=cfg.hidden, output_size=cfg.latent,
+            hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
+            output_activation="Tanh", hidden_activation=cfg.hidden_activation)
+
+        bgraph, bweights = bipartite
+        sgraph, sweights = super_graph
+        n_nodes = nodes.shape[0]
+        n_super = supernodes.shape[0]
+
+        # --- supernode update from OLD nodes (reference :138-145) ---
+        node_messages = gather_segment_sum(
+            nodes, bgraph.senders, bgraph.receivers, n_super,
+            weights=bweights[:, 0], mask=bgraph.edge_mask)
+        attention_messages = segment_sum_hot(
+            jnp.where(sgraph.edge_mask[:, None], superedges * sweights, 0.0),
+            sgraph.receivers, n_super)
+        new_supernodes = supernode_network(jnp.concatenate(
+            [supernodes, attention_messages, node_messages], -1)) + supernodes
+
+        # --- node update from NEW supernodes (reference :119-127) ---
+        supernode_messages = gather_segment_sum(
+            new_supernodes, bgraph.receivers, bgraph.senders, n_nodes,
+            weights=bweights[:, 0], mask=bgraph.edge_mask)
+        edge_messages = segment_sum_hot(
+            jnp.where(graph.edge_mask[:, None], edges, 0.0),
+            graph.receivers, n_nodes)
+        new_nodes = node_network(jnp.concatenate(
+            [nodes, edge_messages, supernode_messages], -1)) + nodes
+
+        # --- superedge / edge updates (reference :147-153, :129-135) ---
+        new_superedges = superedge_network(jnp.concatenate(
+            [new_supernodes[sgraph.senders], new_supernodes[sgraph.receivers],
+             superedges], -1)) + superedges
+        new_edges = edge_network(jnp.concatenate(
+            [new_nodes[graph.senders], new_nodes[graph.receivers], edges],
+            -1)) + edges
+
+        return new_nodes, new_edges, new_supernodes, new_superedges

@@ -1,0 +1,144 @@
+"""NN primitives: MLP factory, dim-matching layer, masked batch norm.
+
+Re-designs of ``make_mlp`` / ``match_dims`` (reference
+``Modules/utils.py:169-225``) and ``nn.BatchNorm1d`` on edge logits
+(reference ``Modules/gnn_utils.py:179,209``) as flax.linen modules.
+Numerics match torch: exact (erf) GELU, LayerNorm eps 1e-5, BatchNorm
+momentum 0.1 / eps 1e-5 with unbiased running variance.  Default weight
+init follows the reference's ``kaiming_init`` (``Modules/
+training_utils.py:48-58``): zero biases, N(0, 1/sqrt(fan_in)) for each
+MLP's first layer, N(0, sqrt(2)/sqrt(fan_in)) for the rest.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_ACTIVATIONS: dict[str, Callable] = {
+    "GELU": lambda x: jax.nn.gelu(x, approximate=False),
+    "Tanh": jnp.tanh,
+    "ReLU": jax.nn.relu,
+    "SiLU": jax.nn.silu,
+    "Sigmoid": jax.nn.sigmoid,
+    "ELU": jax.nn.elu,
+    "LeakyReLU": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
+}
+
+
+def activation(name: str) -> Callable:
+    try:
+        return _ACTIVATIONS[name]
+    except KeyError:
+        raise ValueError(f"Unknown activation {name!r}") from None
+
+
+def _fanin_normal(scale: float):
+    def init(key, shape, dtype=jnp.float32):
+        # flax kernels are [fan_in, fan_out]
+        return jax.random.normal(key, shape, dtype) * (scale / jnp.sqrt(shape[0]))
+    return init
+
+first_layer_init = _fanin_normal(1.0)
+hidden_layer_init = _fanin_normal(jnp.sqrt(2.0).item())
+
+
+class MLP(nn.Module):
+    """``Dense -> [LayerNorm] -> act`` x (L-1) -> ``Dense [-> LN -> act]``.
+
+    ``hidden_layers`` counts Dense layers, as in the reference
+    ``make_mlp(hidden_layers=...)``; ``output_activation=None`` drops the
+    trailing norm+activation (used by every scoring head).
+    """
+
+    hidden_size: int
+    output_size: int
+    hidden_layers: int
+    hidden_activation: str = "GELU"
+    output_activation: Optional[str] = "GELU"
+    layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        act = activation(self.hidden_activation)
+        sizes: Sequence[int] = (
+            [self.hidden_size] * (self.hidden_layers - 1) + [self.output_size]
+        )
+        for i, size in enumerate(sizes[:-1]):
+            kinit = first_layer_init if i == 0 else hidden_layer_init
+            x = nn.Dense(size, kernel_init=kinit, bias_init=nn.initializers.zeros)(x)
+            if self.layer_norm:
+                x = nn.LayerNorm(epsilon=1e-5)(x)
+            x = act(x)
+        kinit = first_layer_init if len(sizes) == 1 else hidden_layer_init
+        x = nn.Dense(sizes[-1], kernel_init=kinit,
+                     bias_init=nn.initializers.zeros)(x)
+        if self.output_activation is not None:
+            if self.layer_norm:
+                x = nn.LayerNorm(epsilon=1e-5)(x)
+            x = activation(self.output_activation)(x)
+        return x
+
+
+class MatchDims(nn.Module):
+    """Single ``Dense -> [LN] -> [act]``: the gMRT cheap encoder
+    (reference ``Modules/utils.py:209-225``)."""
+
+    output_size: int
+    output_activation: Optional[str] = "GELU"
+    layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.output_size, kernel_init=first_layer_init,
+                     bias_init=nn.initializers.zeros)(x)
+        if self.layer_norm:
+            x = nn.LayerNorm(epsilon=1e-5)(x)
+        if self.output_activation is not None:
+            x = activation(self.output_activation)(x)
+        return x
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over a masked 1-D batch of scalars.
+
+    Equivalent of ``nn.BatchNorm1d(1)`` regularizing edge-weight logits
+    (reference ``Modules/gnn_utils.py:179,209``), but ignoring padded edge
+    slots in the batch statistics.  Running stats live in the
+    ``batch_stats`` collection; training mode uses (masked) batch stats and
+    updates the running buffers with torch's momentum-0.1 / unbiased-var
+    convention.
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask, training: bool):
+        scale = self.param("scale", nn.initializers.ones, (1,))
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((1,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((1,), jnp.float32))
+
+        if training:
+            w = mask.astype(jnp.float32)
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(w * x) / n
+            var = jnp.sum(w * jnp.square(x - mean)) / n
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+        else:
+            mean = ra_mean.value[0]
+            var = ra_var.value[0]
+
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        return (x - mean) * inv * scale[0] + bias[0]

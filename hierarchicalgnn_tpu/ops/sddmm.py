@@ -1,0 +1,60 @@
+"""SDDMM-style per-edge products.
+
+The reference computes per-edge dot products of endpoint embeddings with
+``torch.einsum('ij,ij->i', emb[graph[0]], emb[graph[1]])`` (reference
+``Modules/gnn_utils.py:208``, ``Modules/BipartiteClassification/Models/
+HGNN_GMM.py:188``).  On TPU this is a sampled dense-dense matmul: gather the
+two endpoint rows and contract the feature axis on the VPU (feature dims here
+are small: emb_dim=8..latent=256, so the gather dominates and XLA fuses the
+multiply-reduce into it).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def edge_dot(src_features, dst_features, senders, receivers, mask=None):
+    """Per-edge <src_row, dst_row> products. Padded edges -> 0."""
+    out = jnp.sum(src_features[senders] * dst_features[receivers], axis=-1)
+    if mask is not None:
+        out = jnp.where(mask, out, 0.0)
+    return out
+
+
+def edge_squared_distance(src_features, dst_features, senders, receivers,
+                          mask=None, eps: float = 0.0):
+    """Per-edge squared Euclidean distance (+eps), masked to 0."""
+    d = src_features[senders] - dst_features[receivers]
+    out = jnp.sum(jnp.square(d), axis=-1) + eps
+    if mask is not None:
+        out = jnp.where(mask, out, 0.0)
+    return out
+
+
+def edge_distance(src_features, dst_features, senders, receivers, mask=None,
+                  eps: float = 1e-12):
+    """sqrt(||src - dst||^2 + eps): hinge-loss distance (reference
+    ``Modules/BipartiteClassification/bipartite_classification_base.py:148``)."""
+    sq = edge_squared_distance(src_features, dst_features, senders, receivers,
+                               mask=None, eps=eps)
+    out = jnp.sqrt(sq)
+    if mask is not None:
+        out = jnp.where(mask, out, 0.0)
+    return out
+
+
+def edge_cosine_likelihood(embeddings, senders, receivers, mask=None,
+                           clamp: float = 1e-7):
+    """atanh(clamped cosine similarity) of unit embeddings per edge.
+
+    The GMM clustering edge likelihood (reference
+    ``Modules/BipartiteClassification/Models/HGNN_GMM.py:188-189``).
+    Assumes ``embeddings`` rows are L2-normalized.
+    """
+    cos = edge_dot(embeddings, embeddings, senders, receivers)
+    cos = jnp.clip(cos, -1.0 + clamp, 1.0 - clamp)
+    out = jnp.arctanh(cos)
+    if mask is not None:
+        out = jnp.where(mask, out, 0.0)
+    return out
