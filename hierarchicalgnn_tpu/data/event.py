@@ -36,6 +36,14 @@ class Event(NamedTuple):
     true_graph: Graph        # modulewise_true_edges, capacity T_pad
     signal_true_graph: Graph  # signal_true_edges, capacity T_pad
     inverse_mask: np.ndarray  # [N_pad] int32: index into the raw event
+    # Particle-level arrays (reference recomputes these per step with
+    # torch.unique + scatter_min, bipartite_classification_base.py:156-158;
+    # here they are host-precomputed once per event).
+    pid_compact: np.ndarray    # [N_pad] int32: rank of pid among unique pids
+    n_particles: np.ndarray    # [] int32 (noise counts as rank 0 if present)
+    particle_pid: np.ndarray   # [P_max] int32: original pid per rank
+    particle_pt: np.ndarray    # [P_max] float32: min hit pt per particle
+    particle_nhits: np.ndarray  # [P_max] int32
 
 
 def _pad1(a, n, fill=0):
@@ -134,7 +142,18 @@ def preprocess_event(raw: dict, hparams: dict, rng: np.random.Generator | None =
     node_mask_pad[:n_valid] = True
 
     graph = _pad_graph(edge_index, e_pad)
-    ecount = edge_index.shape[1]
+
+    # particle-level arrays over the filtered event
+    p_max = hparams["max_particles"]
+    upid, pid_compact = np.unique(pid_f, return_inverse=True)
+    n_particles = len(upid)
+    if n_particles > p_max:
+        raise ValueError(f"{n_particles} particles > max_particles {p_max}")
+    particle_pt = np.full(p_max, np.inf, np.float32)
+    np.minimum.at(particle_pt, pid_compact, pt_f)
+    particle_pt[~np.isfinite(particle_pt)] = 0.0
+    particle_nhits = np.zeros(p_max, np.int32)
+    np.add.at(particle_nhits, pid_compact, 1)
 
     return Event(
         x=_pad1(x, n_pad),
@@ -150,4 +169,9 @@ def preprocess_event(raw: dict, hparams: dict, rng: np.random.Generator | None =
         true_graph=_pad_graph(mw_edges, e_pad),
         signal_true_graph=_pad_graph(sig_edges, e_pad),
         inverse_mask=_pad1(original_index.astype(np.int32), n_pad),
+        pid_compact=_pad1(pid_compact.astype(np.int32), n_pad),
+        n_particles=np.asarray(n_particles, np.int32),
+        particle_pid=_pad1(upid.astype(np.int32), p_max),
+        particle_pt=particle_pt,
+        particle_nhits=particle_nhits,
     )

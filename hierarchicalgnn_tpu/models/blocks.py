@@ -37,9 +37,12 @@ from hierarchicalgnn_tpu.utils.config import ArchConfig
 
 
 def l2_normalize(x, axis=-1, eps=1e-12):
-    """torch ``F.normalize`` semantics: x / max(||x||, eps)."""
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(n, eps)
+    """torch ``F.normalize`` numerics (x / max(||x||, eps)) in a form whose
+    gradient is finite at x == 0: padded rows are exactly zero, and the
+    norm's gradient at zero is NaN, which would poison the whole backward
+    pass through masked (0-weight) loss terms (0 * NaN = NaN)."""
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
 
 
 def l1_normalize(x, axis=-1, eps=1e-12):

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hierarchicalgnn_tpu.ops import knn as knn_ops
+from hierarchicalgnn_tpu.ops.knn import knn as knn_query
+from hierarchicalgnn_tpu.ops.knn import knn_to_edges
 from hierarchicalgnn_tpu.ops.graph import Graph, symmetrize
 from hierarchicalgnn_tpu.ops.sddmm import edge_dot
 from hierarchicalgnn_tpu.models.mlp import MaskedBatchNorm
@@ -52,10 +53,10 @@ class DynamicGraphConstruction(nn.Module):
         src = jax.lax.stop_gradient(src_embeddings)
         dst = jax.lax.stop_gradient(dst_embeddings)
 
-        idx, _ = knn_ops.knn(src, dst, self.k, knn_radius.value[0],
-                             q_mask=src_mask, p_mask=dst_mask,
-                             block_size=self.knn_block_size)
-        senders, receivers, emask = knn_ops.knn_to_edges(idx)
+        idx, _ = knn_query(src, dst, self.k, knn_radius.value[0],
+                           q_mask=src_mask, p_mask=dst_mask,
+                           block_size=self.knn_block_size)
+        senders, receivers, emask = knn_to_edges(idx)
         graph = Graph(senders, receivers, emask)
         if self.sym:
             graph = symmetrize(graph)

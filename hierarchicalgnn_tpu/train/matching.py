@@ -1,0 +1,102 @@
+"""Particle <-> track-candidate assignment via min-weight bipartite matching.
+
+Truth labels for the bipartite classification loss come from a maximum-
+weight full matching between particles and supernode candidates (reference
+``Modules/bipartite_classification_base.py:152-191``): a score matrix sums
+bipartite scores per (particle, candidate) pair, augmented with per-particle
+virtual candidates (weight 1e-12) so a full matching always exists.
+
+The matching itself (scipy ``min_weight_full_bipartite_matching``, a C++
+CSR algorithm) is truth-side and gradient-free, so it runs as a
+``jax.pure_callback`` with static padded output shapes.  Everything around
+it -- score-matrix accumulation, truth construction -- stays on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hierarchicalgnn_tpu.ops.segment import segment_sum
+
+
+def _host_matching(pair_scores, n_particles, n_clusters, p_max):
+    """Host side: maximize-weight full bipartite matching.
+
+    pair_scores: [P_max, C_max] dense accumulated scores (padded rows/cols
+    are zero).  Returns (row_match, col_match, valid) padded to P_max.
+    ``col_match`` >= n_clusters marks a virtual-candidate match.
+    """
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import min_weight_full_bipartite_matching
+
+    p = int(n_particles)
+    c = int(n_clusters)
+    dense = np.asarray(pair_scores)[:p, :c]
+    rows, cols = np.nonzero(dense)
+    data = dense[rows, cols].astype(np.float64)
+    # virtual candidates guarantee feasibility (reference :164-173)
+    vrows = np.arange(p)
+    vcols = c + np.arange(p)
+    mat = csr_matrix(
+        (np.concatenate([data, np.full(p, 1e-12)]),
+         (np.concatenate([rows, vrows]), np.concatenate([cols, vcols]))),
+        shape=(p, c + p),
+    )
+    row_match, col_match = min_weight_full_bipartite_matching(mat, maximize=True)
+
+    out_r = np.zeros(p_max, np.int32)
+    out_c = np.zeros(p_max, np.int32)
+    out_v = np.zeros(p_max, bool)
+    k = len(row_match)
+    out_r[:k] = row_match
+    out_c[:k] = col_match
+    out_v[:k] = True
+    return out_r, out_c, out_v
+
+
+@functools.partial(jax.jit, static_argnames=("max_clusters",))
+def match_particles_to_candidates(scores, bip_senders, bip_receivers,
+                                  bip_mask, pid_compact, particle_pid,
+                                  n_particles, n_clusters, max_clusters):
+    """Returns (truth bool[E_b], row_match, col_match, match_valid).
+
+    truth[e] = True iff the particle of hit bip_senders[e] was matched to
+    candidate bip_receivers[e] (reference :176-185).  Noise particles and
+    virtual-candidate matches are filtered from the matching.
+    """
+    p_max = particle_pid.shape[0]
+
+    # Accumulate sum of scores per (particle, candidate) on device.
+    part_of_edge = pid_compact[bip_senders]
+    flat = part_of_edge * max_clusters + bip_receivers
+    pair_scores = segment_sum(
+        jnp.where(bip_mask, scores, 0.0), flat, p_max * max_clusters
+    ).reshape(p_max, max_clusters)
+
+    row_match, col_match, valid = jax.pure_callback(
+        functools.partial(_host_matching, p_max=p_max),
+        (jax.ShapeDtypeStruct((p_max,), jnp.int32),
+         jax.ShapeDtypeStruct((p_max,), jnp.int32),
+         jax.ShapeDtypeStruct((p_max,), bool)),
+        pair_scores, n_particles, n_clusters,
+        vmap_method="sequential",  # batched under event-DP vmap
+    )
+
+    # noise / virtual filtering (reference :176-177)
+    noise_mask = (particle_pid[row_match] != 0) & (col_match < n_clusters) & valid
+
+    # Scatter through a trash slot so filtered rows can't clobber rank 0.
+    scatter_idx = jnp.where(noise_mask, row_match, p_max)
+    matched = jnp.zeros((p_max + 1,), bool).at[scatter_idx].set(True)[:p_max]
+    assignment = (jnp.zeros((p_max + 1,), jnp.int32)
+                  .at[scatter_idx].set(col_match)[:p_max])
+    row_match = jnp.where(noise_mask, row_match, 0)
+    col_match = jnp.where(noise_mask, col_match, 0)
+
+    matched_hits = matched[part_of_edge] & bip_mask
+    truth = matched_hits & (assignment[part_of_edge] == bip_receivers)
+    return truth, row_match, col_match, noise_mask

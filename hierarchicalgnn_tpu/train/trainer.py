@@ -1,0 +1,250 @@
+"""Training loop: the runner replacing PyTorch Lightning's Trainer.
+
+Functionality parity with the reference runner (``Notebooks/script.py`` +
+the Lightning bases):
+  * deterministic dataset split: seed-42 path shuffle + seed-0 split
+    (reference ``Modules/utils.py:24-25``, ``edge_classifier_base.py:36``)
+  * jitted/donated train step (grad of the pipeline loss) with buffer
+    (EMA/batch-norm) state threading
+  * sanity validation steps before training (``num_sanity_val_steps=2``)
+  * per-epoch validation with tracking metrics, epoch timing, JSONL logging
+  * Orbax checkpointing: best-by-track_eff + last, resume, transfer
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from hierarchicalgnn_tpu.data.event import Event, preprocess_event
+from hierarchicalgnn_tpu.evaluation import candidates as cand
+from hierarchicalgnn_tpu.evaluation.tracking import DEFAULT_RESPONSE, eval_metrics
+from hierarchicalgnn_tpu.train import checkpoint as ckpt_lib
+from hierarchicalgnn_tpu.train.optim import make_optimizer
+from hierarchicalgnn_tpu.train.pipelines import MUTABLE
+from hierarchicalgnn_tpu.utils.logging import MetricLogger
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    buffers: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def split_dataset(events: Sequence, train_split: Sequence[int],
+                  shuffle_seed: int = 42, split_seed: int = 0):
+    """seed-42 shuffle then seed-0 permutation split (reference semantics)."""
+    events = list(events)
+    rng = np.random.default_rng(shuffle_seed)
+    order = rng.permutation(len(events))
+    events = [events[i] for i in order[: sum(train_split)]]
+    rng2 = np.random.default_rng(split_seed)
+    order2 = rng2.permutation(len(events))
+    n_train, n_val, _ = train_split
+    train = [events[i] for i in order2[:n_train]]
+    val = [events[i] for i in order2[n_train:n_train + n_val]]
+    test = [events[i] for i in order2[n_train + n_val:]]
+    return train, val, test
+
+
+class Trainer:
+    def __init__(self, hparams: dict, model, pipeline, run_dir: str = "runs/run",
+                 log_every_n_steps: int = 50):
+        self.hparams = hparams
+        self.model = model
+        self.pipeline = pipeline
+        self.run_dir = run_dir
+        self.logger = MetricLogger(run_dir, log_every_n_steps)
+        self._train_step = None
+        self._val_forward = None
+
+    # ------------------------------------------------------------------
+    # data
+    # ------------------------------------------------------------------
+    def make_datasets(self, raw_events: Sequence[dict]):
+        """Preprocess raw events once; returns (train, val, test) lists of
+        (raw, Event-on-device) pairs."""
+        rng = np.random.default_rng(12345)
+        processed = []
+        for raw in raw_events:
+            ev = preprocess_event(raw, self.hparams, rng=rng)
+            processed.append((raw, jax.tree.map(jnp.asarray, ev)))
+        return split_dataset(processed, self.hparams["train_split"])
+
+    # ------------------------------------------------------------------
+    # steps
+    # ------------------------------------------------------------------
+    def init_state(self, example: Event, seed: int = 0) -> TrainState:
+        variables = self.model.init(
+            jax.random.key(seed), example.x, example.graph,
+            node_mask=example.node_mask, training=False)
+        variables = dict(variables)
+        params = variables.pop("params")
+        buffers = {k: variables[k] for k in variables}
+        steps_per_epoch = max(self.hparams["train_split"][0], 1)
+        self.optimizer = make_optimizer(self.hparams, steps_per_epoch)
+        opt_state = self.optimizer.init(params)
+        return TrainState(params=params, buffers=buffers,
+                          opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+    def _build_steps(self):
+        pipeline = self.pipeline
+        optimizer = self.optimizer
+
+        def train_step(state: TrainState, batch: Event, epoch):
+            def loss_fn(params):
+                loss, (new_buffers, metrics) = pipeline.loss(
+                    params, state.buffers, batch, epoch, training=True)
+                return loss, (new_buffers, metrics)
+
+            (loss, (new_buffers, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt_state = optimizer.update(
+                grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            new_state = TrainState(
+                params=new_params, buffers=new_buffers,
+                opt_state=new_opt_state, step=state.step + 1)
+            metrics = dict(metrics)
+            metrics["grad_norm"] = jnp.sqrt(sum(
+                jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads)))
+            return new_state, metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+
+        def val_forward(state: TrainState, batch: Event):
+            variables = {"params": state.params, **state.buffers}
+            return self.model.apply(variables, batch.x, batch.graph,
+                                    node_mask=batch.node_mask, training=False)
+
+        self._val_forward = jax.jit(val_forward)
+
+        def val_loss(state: TrainState, batch: Event, epoch):
+            loss, (_, metrics) = pipeline.loss(
+                state.params, state.buffers, batch, epoch, training=False)
+            return loss, metrics
+
+        self._val_loss = jax.jit(val_loss)
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+    def evaluate_event(self, state: TrainState, raw: dict, batch: Event):
+        """Track metrics against the unmodified raw event (reference
+        ``shared_evaluation``)."""
+        hp = self.hparams
+        out = self._val_forward(state, batch)
+        name = hp["model"]
+        if name == "EC-IN":
+            bipartite = cand.ec_candidates(out, batch, hp)
+        elif name in ("Embedding-IN", "Embedding-HGNN-GMM"):
+            emb = out if name == "Embedding-IN" else out[0]
+            bipartite = cand.embedding_candidates(emb, batch, hp)
+        else:  # BC / gMRT
+            bgraph, scores = out[0], out[1]
+            bipartite = cand.bipartite_candidates(bgraph, scores, batch, hp)
+
+        pid = np.asarray(raw["pid"])
+        pt = np.asarray(raw["pt"]).copy()
+        pt[pid == 0] = 0.0
+        try:
+            return eval_metrics(
+                bipartite, pid, pt, primary=raw.get("primary"),
+                pt_cut=hp["ptcut"], nhits_cut=hp["n_hits"],
+                majority_cut=hp["majority_cut"], use_primary=False)
+        except Exception:
+            return dict(DEFAULT_RESPONSE)
+
+    def validate(self, state: TrainState, valset, epoch: int):
+        agg: dict[str, list] = {}
+        for raw, batch in valset:
+            loss, metrics = self._val_loss(state, batch, epoch)
+            tracking = self.evaluate_event(state, raw, batch)
+            rec = {"val_loss": float(loss), **tracking}
+            for k, v in rec.items():
+                agg.setdefault(k, []).append(float(v))
+        return {k: float(np.mean(v)) for k, v in agg.items()}
+
+    # ------------------------------------------------------------------
+    # fit
+    # ------------------------------------------------------------------
+    def fit(self, raw_events: Sequence[dict], max_epochs: int | None = None,
+            state: TrainState | None = None, start_epoch: int = 0,
+            num_sanity_val_steps: int = 2, shuffle_seed: int = 0):
+        hp = self.hparams
+        max_epochs = max_epochs or hp["max_epochs"]
+        trainset, valset, testset = self.make_datasets(raw_events)
+        if state is None:
+            state = self.init_state(trainset[0][1])
+        else:
+            self.optimizer = make_optimizer(
+                hp, max(hp["train_split"][0], 1))
+        self._build_steps()
+
+        if num_sanity_val_steps:
+            sanity = self.validate(state, valset[:num_sanity_val_steps], 0)
+            self.logger.log(sanity, step=0, epoch=-1, prefix="sanity_",
+                            force_print=True)
+
+        rng = np.random.default_rng(shuffle_seed)
+        best_track_eff = -1.0
+        for epoch in range(start_epoch, max_epochs):
+            t0 = time.time()
+            order = rng.permutation(len(trainset))
+            for i in order:
+                _, batch = trainset[i]
+                state, metrics = self._train_step(state, batch, epoch)
+                self.logger.log(metrics, step=int(state.step), epoch=epoch)
+            epoch_time = time.time() - t0
+
+            val_metrics = self.validate(state, valset, epoch)
+            val_metrics["epoch_time"] = epoch_time
+            self.logger.log(val_metrics, step=int(state.step), epoch=epoch,
+                            force_print=True)
+
+            self._save(state, "last", epoch)
+            if val_metrics.get("track_eff", 0.0) >= best_track_eff:
+                best_track_eff = val_metrics.get("track_eff", 0.0)
+                self._save(state, "best", epoch)
+        return state
+
+    def test(self, state: TrainState, raw_events: Sequence[dict]):
+        _, _, testset = self.make_datasets(raw_events)
+        if self._val_forward is None:
+            self.optimizer = make_optimizer(
+                self.hparams, max(self.hparams["train_split"][0], 1))
+            self._build_steps()
+        metrics = self.validate(state, testset, epoch=10 ** 9)
+        self.logger.log(metrics, step=-1, prefix="test_", force_print=True)
+        return metrics
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+    def _state_dict(self, state: TrainState, epoch: int):
+        return {"params": state.params, "buffers": state.buffers,
+                "opt_state": state.opt_state,
+                "step": np.asarray(state.step),
+                "epoch": np.asarray(epoch, np.int32)}
+
+    def _save(self, state: TrainState, name: str, epoch: int):
+        ckpt_lib.save_checkpoint(self.run_dir, name,
+                                 self._state_dict(state, epoch), self.hparams)
+
+    def restore(self, name: str, example: Event) -> tuple[TrainState, int]:
+        template = self.init_state(example)
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+            self._state_dict(template, 0))
+        restored = ckpt_lib.restore_checkpoint(self.run_dir, name, abstract)
+        state = TrainState(params=restored["params"],
+                           buffers=restored["buffers"],
+                           opt_state=restored["opt_state"],
+                           step=jnp.asarray(restored["step"]))
+        return state, int(restored["epoch"])

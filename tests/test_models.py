@@ -1,0 +1,123 @@
+"""Forward-pass tests for all five pipeline models on small synthetic events."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hierarchicalgnn_tpu.data.event import Event, preprocess_event
+from hierarchicalgnn_tpu.data.synthetic import generate_event
+from hierarchicalgnn_tpu.models.registry import model_selector
+
+SMALL = {
+    "n_nodes_max": 512,
+    "n_edges_max": 2048,
+    "max_clusters": 128,
+    "max_particles": 128,
+    "latent": 32,
+    "hidden_ratio": 2,
+    "n_interaction_graph_iters": 2,
+    "n_hierarchical_graph_iters": 2,
+    "knn": 10,
+    "knn_block_size": 256,
+    "gmm_iters": 20,
+}
+
+
+def small_batch(hparams, seed=0, n_particles=30):
+    rng = np.random.default_rng(seed)
+    raw = generate_event(rng, n_particles=n_particles)
+    ev = preprocess_event(raw, hparams)
+    return jax.tree.map(jnp.asarray, ev)
+
+
+@pytest.fixture(scope="module")
+def models():
+    return {}
+
+
+def init_model(name):
+    hparams, model, pipeline = model_selector(name, SMALL)
+    batch = small_batch(hparams)
+    variables = model.init(jax.random.key(0), batch.x, batch.graph,
+                           node_mask=batch.node_mask, training=False)
+    return hparams, model, pipeline, batch, variables
+
+
+class TestForwards:
+    def test_ec_forward(self):
+        hparams, model, _, batch, variables = init_model("EC-IN")
+        scores = model.apply(variables, batch.x, batch.graph,
+                             node_mask=batch.node_mask, training=False)
+        scores = np.asarray(scores)
+        assert scores.shape == (hparams["n_edges_max"],)
+        emask = np.asarray(batch.graph.edge_mask)
+        assert ((scores >= 0) & (scores <= 1)).all()
+        assert (scores[~emask] == 0).all()
+        assert np.isfinite(scores).all()
+
+    def test_embedding_forward_normalized(self):
+        hparams, model, _, batch, variables = init_model("Embedding-IN")
+        emb = np.asarray(model.apply(variables, batch.x, batch.graph,
+                                     node_mask=batch.node_mask, training=False))
+        assert emb.shape == (hparams["n_nodes_max"], hparams["emb_dim"])
+        norms = np.linalg.norm(emb, axis=1)
+        nm = np.asarray(batch.node_mask)
+        np.testing.assert_allclose(norms[nm], 1.0, atol=1e-4)
+
+    def test_embedding_hgnn_forward(self):
+        hparams, model, _, batch, variables = init_model("Embedding-HGNN-GMM")
+        (emb, intermediate, aux), new_vars = model.apply(
+            variables, batch.x, batch.graph, node_mask=batch.node_mask,
+            training=True, mutable=["buffers", "batch_stats"])
+        assert np.isfinite(np.asarray(emb)).all()
+        assert int(aux["n_clusters"]) > 3
+        clusters = np.asarray(aux["clusters"])
+        nm = np.asarray(batch.node_mask)
+        assert (clusters[~nm] == -1).all()
+        # score_cut buffer became finite after the first training forward
+        buffers = new_vars["buffers"]
+        leaves = jax.tree.leaves(
+            {k: v for k, v in buffers.items()})
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    def test_bc_forward(self):
+        hparams, model, _, batch, variables = init_model("BC-HGNN-GMM")
+        bgraph, scores, intermediate, aux = model.apply(
+            variables, batch.x, batch.graph, node_mask=batch.node_mask,
+            training=False)
+        scores = np.asarray(scores)
+        emask = np.asarray(bgraph.edge_mask)
+        assert emask.any()
+        assert ((scores >= 0) & (scores <= 1)).all()
+        assert (scores[~emask] == 0).all()
+        # bipartite receivers point into valid cluster range
+        assert (np.asarray(bgraph.receivers)[emask] < int(aux["n_clusters"])).all()
+
+    def test_gmrt_forward(self):
+        hparams, model, _, batch, variables = init_model("gMRT")
+        bgraph, scores, emb, aux = model.apply(
+            variables, batch.x, batch.graph, node_mask=batch.node_mask,
+            training=False)
+        assert np.isfinite(np.asarray(scores)).all()
+
+    def test_padding_invariance(self):
+        """Scores on real edges must not depend on padding capacity."""
+        hparams, model, _, _, _ = model_selector("EC-IN", SMALL), None, None, None, None
+        hp1, model1, _ = model_selector("EC-IN", SMALL)
+        big = dict(SMALL, n_nodes_max=768, n_edges_max=3072)
+        hp2, model2, _ = model_selector("EC-IN", big)
+
+        rng = np.random.default_rng(3)
+        raw = generate_event(rng, n_particles=30)
+        b1 = jax.tree.map(jnp.asarray, preprocess_event(raw, hp1))
+        b2 = jax.tree.map(jnp.asarray, preprocess_event(raw, hp2))
+
+        v1 = model1.init(jax.random.key(7), b1.x, b1.graph,
+                         node_mask=b1.node_mask, training=False)
+        s1 = np.asarray(model1.apply(v1, b1.x, b1.graph,
+                                     node_mask=b1.node_mask, training=False))
+        s2 = np.asarray(model2.apply(v1, b2.x, b2.graph,
+                                     node_mask=b2.node_mask, training=False))
+        e = int(np.asarray(b1.graph.edge_mask).sum())
+        np.testing.assert_allclose(s1[:e], s2[:e], rtol=1e-4, atol=1e-5)
