@@ -27,9 +27,7 @@ from hierarchicalgnn_tpu.ops import gmm as gmm_ops
 from hierarchicalgnn_tpu.ops.connected import cluster_labels
 from hierarchicalgnn_tpu.ops.graph import Graph
 from hierarchicalgnn_tpu.ops.sddmm import edge_cosine_likelihood
-from hierarchicalgnn_tpu.ops.segment import (
-    gather_segment_sum, segment_mean,
-)
+from hierarchicalgnn_tpu.ops.segment import make_aggregator, segment_mean
 from hierarchicalgnn_tpu.models.cells import HierarchicalGNNCell, InteractionGNNCell
 from hierarchicalgnn_tpu.models.dynamic_graph import DynamicGraphConstruction
 from hierarchicalgnn_tpu.models.mlp import MLP, MatchDims
@@ -79,13 +77,18 @@ class InteractionGNNBlock(nn.Module):
         edges = edge_encoder(
             jnp.concatenate([x[graph.senders], x[graph.receivers]], -1))
 
+        # One aggregation plan for all iterations (the Pallas CSR layout
+        # depends only on the fixed graph structure).
+        agg = make_aggregator(graph.receivers, graph.edge_mask, x.shape[0],
+                              use_pallas=cfg.use_pallas)
         if cfg.share_weight:
             cell = InteractionGNNCell(self.cfg)
             for _ in range(self.iterations):
-                nodes, edges = cell(nodes, edges, graph)
+                nodes, edges = cell(nodes, edges, graph, agg=agg)
         else:
             for _ in range(self.iterations):
-                nodes, edges = InteractionGNNCell(self.cfg)(nodes, edges, graph)
+                nodes, edges = InteractionGNNCell(self.cfg)(
+                    nodes, edges, graph, agg=agg)
 
         if not self.emb:
             return nodes, edges
@@ -198,12 +201,25 @@ class HierarchicalGNNBlock(nn.Module):
             embeddings, means, training, src_mask=node_mask,
             dst_mask=cluster_valid)
 
+        # Shared aggregation plans for init + all hierarchical iterations.
+        aggs = {
+            "edge_to_node": make_aggregator(
+                graph.receivers, graph.edge_mask, n, cfg.use_pallas),
+            "bip_to_super": make_aggregator(
+                bipartite_graph.receivers, bipartite_graph.edge_mask,
+                cfg.max_clusters, cfg.use_pallas),
+            "bip_to_node": make_aggregator(
+                bipartite_graph.senders, bipartite_graph.edge_mask, n,
+                cfg.use_pallas),
+            "super_to_super": make_aggregator(
+                super_graph.receivers, super_graph.edge_mask,
+                cfg.max_clusters, cfg.use_pallas),
+        }
+
         # --- supernode / superedge initialization ---
         init_nodes = l1_normalize(nodes) if self.l1_norm_supernode_init else nodes
-        agg = gather_segment_sum(
-            init_nodes, bipartite_graph.senders, bipartite_graph.receivers,
-            cfg.max_clusters, weights=bipartite_weights[:, 0],
-            mask=bipartite_graph.edge_mask)
+        agg = aggs["bip_to_super"](
+            init_nodes[bipartite_graph.senders] * bipartite_weights)
         supernodes = jnp.concatenate([means, supernode_encoder(agg)], -1)
         superedges = superedge_encoder(jnp.concatenate(
             [supernodes[super_graph.senders],
@@ -220,7 +236,7 @@ class HierarchicalGNNBlock(nn.Module):
             nodes, edges, supernodes, superedges = cell(
                 nodes, edges, supernodes, superedges, graph,
                 (bipartite_graph, bipartite_weights),
-                (super_graph, super_weights))
+                (super_graph, super_weights), aggs=aggs)
 
         aux = {"clusters": clusters, "n_clusters": n_clusters,
                "cluster_valid": cluster_valid,

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hierarchicalgnn_tpu.ops.segment import gather_segment_sum, segment_sum_hot
+from hierarchicalgnn_tpu.ops.segment import make_aggregator
 from hierarchicalgnn_tpu.models.mlp import MLP
 from hierarchicalgnn_tpu.utils.config import ArchConfig
 
@@ -47,7 +47,9 @@ class InteractionGNNCell(nn.Module):
     cfg: ArchConfig
 
     @nn.compact
-    def __call__(self, nodes, edges, graph):
+    def __call__(self, nodes, edges, graph, agg=None):
+        """``agg``: prebuilt edge->receiver aggregator (one per graph per
+        forward; see ops.segment.make_aggregator).  Built ad hoc if None."""
         node_network = nn.remat(MLP)(
             hidden_size=self.cfg.hidden, output_size=self.cfg.latent,
             hidden_layers=self.cfg.nb_node_layer, layer_norm=self.cfg.layernorm,
@@ -60,9 +62,10 @@ class InteractionGNNCell(nn.Module):
             hidden_activation=self.cfg.hidden_activation)
 
         n = nodes.shape[0]
-        emask = graph.edge_mask
-        edge_messages = segment_sum_hot(
-            jnp.where(emask[:, None], edges, 0.0), graph.receivers, n)
+        if agg is None:
+            agg = make_aggregator(graph.receivers, graph.edge_mask, n,
+                                  use_pallas=self.cfg.use_pallas)
+        edge_messages = agg(edges)
         nodes = node_network(jnp.concatenate([nodes, edge_messages], -1)) + nodes
 
         edge_input = jnp.concatenate(
@@ -84,8 +87,11 @@ class HierarchicalGNNCell(nn.Module):
 
     @nn.compact
     def __call__(self, nodes, edges, supernodes, superedges,
-                 graph, bipartite, super_graph):
-        """bipartite/super_graph: (Graph, weights[E,1]) tuples."""
+                 graph, bipartite, super_graph, aggs=None):
+        """bipartite/super_graph: (Graph, weights[E,1]) tuples.
+
+        ``aggs``: dict of prebuilt aggregators {edge_to_node, bip_to_super,
+        bip_to_node, super_to_super} shared across iterations."""
         cfg = self.cfg
         node_network = nn.remat(MLP)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
@@ -110,24 +116,29 @@ class HierarchicalGNNCell(nn.Module):
         sgraph, sweights = super_graph
         n_nodes = nodes.shape[0]
         n_super = supernodes.shape[0]
+        if aggs is None:
+            up = cfg.use_pallas
+            aggs = {
+                "edge_to_node": make_aggregator(
+                    graph.receivers, graph.edge_mask, n_nodes, up),
+                "bip_to_super": make_aggregator(
+                    bgraph.receivers, bgraph.edge_mask, n_super, up),
+                "bip_to_node": make_aggregator(
+                    bgraph.senders, bgraph.edge_mask, n_nodes, up),
+                "super_to_super": make_aggregator(
+                    sgraph.receivers, sgraph.edge_mask, n_super, up),
+            }
 
         # --- supernode update from OLD nodes (reference :138-145) ---
-        node_messages = gather_segment_sum(
-            nodes, bgraph.senders, bgraph.receivers, n_super,
-            weights=bweights[:, 0], mask=bgraph.edge_mask)
-        attention_messages = segment_sum_hot(
-            jnp.where(sgraph.edge_mask[:, None], superedges * sweights, 0.0),
-            sgraph.receivers, n_super)
+        node_messages = aggs["bip_to_super"](nodes[bgraph.senders] * bweights)
+        attention_messages = aggs["super_to_super"](superedges * sweights)
         new_supernodes = supernode_network(jnp.concatenate(
             [supernodes, attention_messages, node_messages], -1)) + supernodes
 
         # --- node update from NEW supernodes (reference :119-127) ---
-        supernode_messages = gather_segment_sum(
-            new_supernodes, bgraph.receivers, bgraph.senders, n_nodes,
-            weights=bweights[:, 0], mask=bgraph.edge_mask)
-        edge_messages = segment_sum_hot(
-            jnp.where(graph.edge_mask[:, None], edges, 0.0),
-            graph.receivers, n_nodes)
+        supernode_messages = aggs["bip_to_node"](
+            new_supernodes[bgraph.receivers] * bweights)
+        edge_messages = aggs["edge_to_node"](edges)
         new_nodes = node_network(jnp.concatenate(
             [nodes, edge_messages, supernode_messages], -1)) + nodes
 

@@ -112,9 +112,15 @@ def _segment_kernel(seg_ref, data_ref, out_ref, *, block_r):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    seg = seg_ref[0, :]  # [BLOCK_E] int32; block_r marks padding
-    onehot = (seg[:, None]
-              == jax.lax.broadcasted_iota(jnp.int32, (seg.shape[0], block_r),
+    # seg_ref block is (BLOCK_E, 1) -- a column vector so the sublane dim
+    # carries the edge index (TPU tiling: last two block dims must divide
+    # (8, 128) or equal the array dims).  Lane-broadcast against an iota to
+    # build the one-hot with the edge axis on sublanes, ready for the MXU
+    # contraction over edges.
+    seg = seg_ref[:]  # [BLOCK_E, 1] int32; block_r marks padding
+    block_e = seg.shape[0]
+    onehot = (jnp.broadcast_to(seg, (block_e, block_r))
+              == jax.lax.broadcasted_iota(jnp.int32, (block_e, block_r),
                                           1)).astype(data_ref.dtype)
     out_ref[:] += jax.lax.dot_general(
         onehot, data_ref[:],
@@ -130,12 +136,12 @@ def _pallas_aggregate(data_padded, seg_local, num_segments, block_r, block_e,
     c_max = capacity // (n_groups * block_e)
     n_rows = n_groups * block_r
 
-    seg2d = seg_local.reshape(capacity // block_e, block_e)
+    seg_col = seg_local.reshape(capacity, 1)
     out = pl.pallas_call(
         functools.partial(_segment_kernel, block_r=block_r),
         grid=(n_groups, c_max),
         in_specs=[
-            pl.BlockSpec((1, block_e), lambda g, c: (g * c_max + c, 0),
+            pl.BlockSpec((block_e, 1), lambda g, c: (g * c_max + c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, d), lambda g, c: (g * c_max + c, 0),
                          memory_space=pltpu.VMEM),
@@ -144,7 +150,7 @@ def _pallas_aggregate(data_padded, seg_local, num_segments, block_r, block_e,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
         interpret=interpret,
-    )(seg2d, data_padded)
+    )(seg_col, data_padded)
     return out[:num_segments]
 
 

@@ -94,10 +94,47 @@ def gather_segment_sum(values, gather_ids, segment_ids, num_segments,
 
 
 # ---------------------------------------------------------------------------
-# Hot-path dispatch.  ``use_pallas`` is toggled by the model config; the
-# Pallas kernel requires edges sorted by segment id (see
-# ops/pallas/segment_kernel.py) and feature width padded to lane multiples.
+# Hot-path dispatch.  Model code builds one aggregator per graph direction
+# per forward (the Pallas blocked-CSR layout depends only on structure, so
+# it is shared across all message-passing iterations); ``use_pallas`` is
+# toggled by the model config.
 # ---------------------------------------------------------------------------
+
+
+def make_aggregator(receivers, edge_mask, num_segments, use_pallas=False):
+    """Returns ``agg(data) -> [num_segments, D]`` for repeated masked segment
+    sums over a fixed edge structure.
+
+    With ``use_pallas`` the blocked-CSR layout is built once here and every
+    call runs the MXU one-hot kernel (ops/pallas/segment_kernel.py), falling
+    back to XLA scatter for non-lane-aligned feature widths or chunk-budget
+    overflow.
+    """
+    if not use_pallas:
+        def agg(data):
+            return segment_sum(data, receivers, num_segments, mask=edge_mask)
+        return agg
+
+    from hierarchicalgnn_tpu.ops.pallas.segment_kernel import (
+        csr_segment_sum, make_csr_layout,
+    )
+
+    layout = make_csr_layout(receivers, edge_mask, num_segments)
+    interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
+
+    def agg(data):
+        if data.shape[-1] % 128 != 0:
+            return segment_sum(data, receivers, num_segments, mask=edge_mask)
+        return jax.lax.cond(
+            layout.overflowed,
+            lambda d: segment_sum(
+                jnp.where(edge_mask[:, None], d, 0.0), receivers,
+                num_segments),
+            lambda d: csr_segment_sum(d, layout, interpret=interpret),
+            data)
+
+    return agg
+
 
 _PALLAS_ENABLED = False
 

@@ -1,0 +1,136 @@
+"""Command-line runner: train / resume / test / transfer.
+
+Replaces the reference's ``Notebooks/script.py`` entry points (``main``,
+``resume``, ``update``/``switch``, ``test``) with a single CLI:
+
+  python -m hierarchicalgnn_tpu.run train --model 4 --run-dir runs/bc
+  python -m hierarchicalgnn_tpu.run resume --run-dir runs/bc
+  python -m hierarchicalgnn_tpu.run test --run-dir runs/bc
+  python -m hierarchicalgnn_tpu.run transfer --run-dir runs/gmrt \
+      --source-run runs/bc --model 5
+
+Data comes from ``--input-dir`` (directory of preprocessed event files, see
+``data.reader``) or the built-in synthetic generator when the config's
+``input_dir`` is ``synthetic://`` (the default shipping config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import numpy as np
+
+
+def _load_events(hparams, args):
+    n_events = sum(hparams["train_split"])
+    input_dir = args.input_dir or hparams.get("input_dir", "synthetic://")
+    if str(input_dir).startswith("synthetic://"):
+        from hierarchicalgnn_tpu.data.synthetic import generate_dataset
+        return generate_dataset(n_events, seed=42,
+                                n_particles=args.synthetic_particles)
+    from hierarchicalgnn_tpu.data.reader import load_event_dir
+    return load_event_dir(input_dir, hparams["datatype_names"],
+                          limit=n_events)
+
+
+def _overrides(args):
+    o = {}
+    for kv in args.set or []:
+        k, v = kv.split("=", 1)
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        o[k] = v
+    return o
+
+
+def _build(args, model_name=None):
+    from hierarchicalgnn_tpu.models.registry import model_selector
+    from hierarchicalgnn_tpu.train.trainer import Trainer
+
+    hparams, model, pipeline = model_selector(model_name or args.model,
+                                              _overrides(args))
+    trainer = Trainer(hparams, model, pipeline, run_dir=args.run_dir,
+                      log_every_n_steps=args.log_every_n_steps)
+    return hparams, model, pipeline, trainer
+
+
+def cmd_train(args):
+    hparams, model, pipeline, trainer = _build(args)
+    events = _load_events(hparams, args)
+    trainer.fit(events, max_epochs=args.max_epochs)
+
+
+def cmd_resume(args):
+    from hierarchicalgnn_tpu.train.checkpoint import load_hparams
+    saved = load_hparams(args.run_dir)
+    args.model = saved["model"]
+    hparams, model, pipeline, trainer = _build(args)
+    events = _load_events(hparams, args)
+    trainset, _, _ = trainer.make_datasets(events)
+    state, epoch = trainer.restore("last", trainset[0][1])
+    trainer.fit(events, max_epochs=args.max_epochs, state=state,
+                start_epoch=epoch + 1)
+
+
+def cmd_test(args):
+    from hierarchicalgnn_tpu.train.checkpoint import load_hparams
+    saved = load_hparams(args.run_dir)
+    args.model = saved["model"]
+    hparams, model, pipeline, trainer = _build(args)
+    events = _load_events(hparams, args)
+    trainset, _, _ = trainer.make_datasets(events)
+    state, _ = trainer.restore(args.checkpoint, trainset[0][1])
+    metrics = trainer.test(state, events)
+    print(json.dumps(metrics))
+
+
+def cmd_transfer(args):
+    """Initialize a model from another run's checkpoint (strict=False),
+    e.g. gMRT <- pretrained BC (reference ``script.py:53-173``)."""
+    from hierarchicalgnn_tpu.train.checkpoint import transfer_params
+    from hierarchicalgnn_tpu.train.trainer import Trainer as T
+
+    hparams, model, pipeline, trainer = _build(args)
+    events = _load_events(hparams, args)
+    trainset, _, _ = trainer.make_datasets(events)
+    state = trainer.init_state(trainset[0][1])
+
+    source = T(hparams, model, pipeline, run_dir=args.source_run)
+    src_state, _ = source.restore(args.checkpoint, trainset[0][1])
+    merged = transfer_params(state.params, src_state.params,
+                             skip_prefixes=tuple(args.skip or []))
+    state = state.replace(params=merged)
+    trainer.fit(events, max_epochs=args.max_epochs, state=state)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="hierarchicalgnn_tpu.run")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("train", cmd_train), ("resume", cmd_resume),
+                     ("test", cmd_test), ("transfer", cmd_transfer)):
+        sp = sub.add_parser(name)
+        sp.set_defaults(fn=fn)
+        sp.add_argument("--model", default="4",
+                        help="model name or ID 1-5 (default: 4 = BC-HGNN-GMM)")
+        sp.add_argument("--run-dir", default="runs/run")
+        sp.add_argument("--input-dir", default=None)
+        sp.add_argument("--max-epochs", type=int, default=None)
+        sp.add_argument("--set", action="append", metavar="KEY=VALUE",
+                        help="hparam overrides (sweep configs)")
+        sp.add_argument("--log-every-n-steps", type=int, default=50)
+        sp.add_argument("--synthetic-particles", type=int, default=120)
+        sp.add_argument("--checkpoint", default="best")
+        if name == "transfer":
+            sp.add_argument("--source-run", required=True)
+            sp.add_argument("--skip", action="append",
+                            help="param path prefixes to keep from init")
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

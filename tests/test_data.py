@@ -1,0 +1,114 @@
+"""Data layer tests: preprocessing semantics, synthetic events, native IO."""
+
+import numpy as np
+import pytest
+
+from hierarchicalgnn_tpu.data.event import preprocess_event
+from hierarchicalgnn_tpu.data.synthetic import generate_event
+
+HP = {
+    "noise": True, "hard_ptcut": 0, "remove_isolated": False,
+    "primary": False, "n_hits": 5, "edge_dropping_ratio": 0.0,
+    "n_nodes_max": 1024, "n_edges_max": 4096, "max_particles": 256,
+}
+
+
+def test_synthetic_schema(rng):
+    ev = generate_event(rng, n_particles=20)
+    for key in ("x", "pid", "pt", "edge_index", "modulewise_true_edges",
+                "signal_true_edges", "y", "y_pid", "primary"):
+        assert key in ev
+    assert ev["x"].shape[1] == 3
+    assert ev["edge_index"].shape[0] == 2
+    # labels consistent: y edges are same-particle adjacent hits
+    mw = set(map(tuple, ev["modulewise_true_edges"].T))
+    for (a, b), y in zip(ev["edge_index"].T, ev["y"]):
+        assert y == ((a, b) in mw or (b, a) in mw)
+
+
+def test_preprocess_noise_filter(rng):
+    ev = generate_event(rng, n_particles=15, noise_fraction=0.3)
+    out = preprocess_event(ev, dict(HP, noise=False))
+    n_valid = out.node_mask.sum()
+    assert (out.pid[:n_valid] != 0).all()
+    # inverse mask points at the original indices of surviving hits
+    orig_pid = ev["pid"][out.inverse_mask[:n_valid]]
+    np.testing.assert_array_equal(orig_pid, out.pid[:n_valid])
+
+
+def test_preprocess_remove_isolated(rng):
+    ev = generate_event(rng, n_particles=15)
+    # add an isolated hit
+    ev["x"] = np.vstack([ev["x"], [[0.5, 0.0, 0.0]]]).astype(np.float32)
+    ev["pid"] = np.append(ev["pid"], 999)
+    ev["pt"] = np.append(ev["pt"], 2.0).astype(np.float32)
+    ev["primary"] = np.append(ev["primary"], 1)
+    out = preprocess_event(ev, dict(HP, remove_isolated=True))
+    n_valid = int(out.node_mask.sum())
+    # only hits that appear in the candidate graph survive
+    connected = np.unique(ev["edge_index"])
+    assert n_valid == len(connected)
+    assert 999 not in out.pid[:n_valid]
+
+
+def test_preprocess_particle_arrays(rng):
+    ev = generate_event(rng, n_particles=10, noise_fraction=0.0)
+    out = preprocess_event(ev, HP)
+    n_p = int(out.n_particles)
+    assert n_p == 10
+    n_valid = int(out.node_mask.sum())
+    for rank in range(n_p):
+        hits = out.pid_compact[:n_valid] == rank
+        assert out.particle_nhits[rank] == hits.sum()
+        np.testing.assert_allclose(out.particle_pt[rank],
+                                   out.pt[:n_valid][hits].min())
+
+
+def test_edge_reindexing(rng):
+    ev = generate_event(rng, n_particles=15, noise_fraction=0.2)
+    out = preprocess_event(ev, dict(HP, noise=False))
+    e = int(out.graph.edge_mask.sum())
+    n_valid = int(out.node_mask.sum())
+    assert (out.graph.senders[:e] < n_valid).all()
+    assert (out.graph.receivers[:e] < n_valid).all()
+    # y_pid stays consistent after reindexing
+    s, r = out.graph.senders[:e], out.graph.receivers[:e]
+    expected = (out.pid[s] == out.pid[r]) & (out.pid[s] != 0)
+    np.testing.assert_array_equal(out.y_pid[:e], expected)
+
+
+class TestNativeLoader:
+    def test_roundtrip_and_prefetch(self, rng, tmp_path):
+        from hierarchicalgnn_tpu.data import native_loader as nl
+        if not nl.available():
+            pytest.skip("libhgnn_io.so not built")
+        events = [generate_event(rng, n_particles=8) for _ in range(5)]
+        paths = []
+        for i, ev in enumerate(events):
+            p = str(tmp_path / f"ev{i}.hgnn")
+            nl.write_event(p, ev)
+            paths.append(p)
+
+        loader = nl.NativeEventLoader(paths, n_threads=2, shuffle_seed=-1)
+        loaded = list(loader)
+        assert len(loaded) == 5
+        for src, dst in zip(events, loaded):
+            np.testing.assert_allclose(src["x"], dst["x"])
+            np.testing.assert_array_equal(src["edge_index"], dst["edge_index"])
+            np.testing.assert_array_equal(src["y"].astype(np.uint8), dst["y"])
+
+    def test_shuffled_loop(self, rng, tmp_path):
+        from hierarchicalgnn_tpu.data import native_loader as nl
+        if not nl.available():
+            pytest.skip("libhgnn_io.so not built")
+        paths = []
+        for i in range(4):
+            ev = generate_event(rng, n_particles=6)
+            p = str(tmp_path / f"ev{i}.hgnn")
+            nl.write_event(p, ev)
+            paths.append(p)
+        loader = nl.NativeEventLoader(paths, n_threads=2, shuffle_seed=7,
+                                      loop=True)
+        got = [next(loader) for _ in range(10)]  # crosses epoch boundary
+        assert len(got) == 10
+        loader.close()

@@ -82,3 +82,28 @@ def test_auto_api(rng):
     expected = segment_sum(data, receivers, n_nodes, mask=mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_model_forward_with_pallas_matches_xla(rng):
+    """BC forward with use_pallas=True (interpret) == XLA aggregation path."""
+    import jax
+    import jax.numpy as jnp
+    from hierarchicalgnn_tpu.data.event import preprocess_event
+    from hierarchicalgnn_tpu.data.synthetic import generate_event
+    from hierarchicalgnn_tpu.models.registry import model_selector
+
+    small = {"n_nodes_max": 512, "n_edges_max": 2048, "max_clusters": 128,
+             "max_particles": 128, "latent": 128, "hidden_ratio": 1,
+             "n_interaction_graph_iters": 1, "n_hierarchical_graph_iters": 1,
+             "knn": 5, "knn_block_size": 256, "gmm_iters": 10}
+    raw = generate_event(np.random.default_rng(11), n_particles=25)
+
+    hp1, m1, _ = model_selector("BC-HGNN-GMM", dict(small, use_pallas=False))
+    hp2, m2, _ = model_selector("BC-HGNN-GMM", dict(small, use_pallas=True))
+    b = jax.tree.map(jnp.asarray, preprocess_event(raw, hp1))
+    v = m1.init(jax.random.key(0), b.x, b.graph, node_mask=b.node_mask,
+                training=False)
+    out1 = m1.apply(v, b.x, b.graph, node_mask=b.node_mask, training=False)
+    out2 = m2.apply(v, b.x, b.graph, node_mask=b.node_mask, training=False)
+    np.testing.assert_allclose(np.asarray(out1[1]), np.asarray(out2[1]),
+                               rtol=1e-4, atol=1e-5)
