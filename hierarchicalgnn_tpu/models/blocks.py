@@ -66,12 +66,14 @@ class InteractionGNNBlock(nn.Module):
             hidden_size=cfg.hidden, output_size=cfg.latent,
             hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
             output_activation=cfg.hidden_activation,
-            hidden_activation=cfg.hidden_activation)
+            hidden_activation=cfg.hidden_activation,
+            compute_dtype=cfg.compute_dtype)
         edge_encoder = nn.remat(MLP)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
             hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
             output_activation=cfg.hidden_activation,
-            hidden_activation=cfg.hidden_activation)
+            hidden_activation=cfg.hidden_activation,
+            compute_dtype=cfg.compute_dtype)
 
         nodes = node_encoder(x)
         edges = edge_encoder(
@@ -96,7 +98,8 @@ class InteractionGNNBlock(nn.Module):
             hidden_size=cfg.hidden, output_size=cfg.emb_dim,
             hidden_layers=cfg.output_layers, layer_norm=cfg.layernorm,
             output_activation=None,
-            hidden_activation=cfg.hidden_output_activation)
+            hidden_activation=cfg.hidden_output_activation,
+            compute_dtype=cfg.compute_dtype)
         embeddings = l2_normalize(output_layer(nodes))
         return embeddings, nodes, edges
 
@@ -170,12 +173,14 @@ class HierarchicalGNNBlock(nn.Module):
             hidden_size=cfg.hidden, output_size=cfg.latent - cfg.emb_dim,
             hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
             output_activation=cfg.hidden_activation,
-            hidden_activation=cfg.hidden_activation)
+            hidden_activation=cfg.hidden_activation,
+            compute_dtype=cfg.compute_dtype)
         superedge_encoder = nn.remat(MLP)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
             hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
             output_activation=cfg.hidden_activation,
-            hidden_activation=cfg.hidden_activation)
+            hidden_activation=cfg.hidden_activation,
+            compute_dtype=cfg.compute_dtype)
         super_graph_construction = DynamicGraphConstruction(
             "sigmoid", k=cfg.supergraph_sparsity, sym=True, norm=True,
             knn_block_size=cfg.knn_block_size)
@@ -247,7 +252,8 @@ class HierarchicalGNNBlock(nn.Module):
                 hidden_size=cfg.hidden, output_size=cfg.emb_dim,
                 hidden_layers=cfg.output_layers, layer_norm=cfg.layernorm,
                 output_activation=None,
-                hidden_activation=cfg.hidden_output_activation)
+                hidden_activation=cfg.hidden_output_activation,
+            compute_dtype=cfg.compute_dtype)
             out_embeddings = l2_normalize(output_layer(nodes))
             return out_embeddings, aux
         return nodes, supernodes, (bipartite_graph, bipartite_weights), aux

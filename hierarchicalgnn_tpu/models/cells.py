@@ -26,14 +26,16 @@ def _edge_net(cfg: ArchConfig) -> MLP:
     return MLP(hidden_size=cfg.hidden, output_size=cfg.latent,
                hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
                output_activation="Tanh",
-               hidden_activation=cfg.hidden_activation)
+               hidden_activation=cfg.hidden_activation,
+            compute_dtype=cfg.compute_dtype)
 
 
 def _node_net(cfg: ArchConfig) -> MLP:
     return MLP(hidden_size=cfg.hidden, output_size=cfg.latent,
                hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
                output_activation=cfg.hidden_activation,
-               hidden_activation=cfg.hidden_activation)
+               hidden_activation=cfg.hidden_activation,
+            compute_dtype=cfg.compute_dtype)
 
 
 class InteractionGNNCell(nn.Module):
@@ -54,12 +56,14 @@ class InteractionGNNCell(nn.Module):
             hidden_size=self.cfg.hidden, output_size=self.cfg.latent,
             hidden_layers=self.cfg.nb_node_layer, layer_norm=self.cfg.layernorm,
             output_activation=self.cfg.hidden_activation,
-            hidden_activation=self.cfg.hidden_activation)
+            hidden_activation=self.cfg.hidden_activation,
+            compute_dtype=self.cfg.compute_dtype)
         edge_network = nn.remat(MLP)(
             hidden_size=self.cfg.hidden, output_size=self.cfg.latent,
             hidden_layers=self.cfg.nb_edge_layer, layer_norm=self.cfg.layernorm,
             output_activation="Tanh",
-            hidden_activation=self.cfg.hidden_activation)
+            hidden_activation=self.cfg.hidden_activation,
+            compute_dtype=self.cfg.compute_dtype)
 
         n = nodes.shape[0]
         if agg is None:
@@ -97,20 +101,24 @@ class HierarchicalGNNCell(nn.Module):
             hidden_size=cfg.hidden, output_size=cfg.latent,
             hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
             output_activation=cfg.hidden_activation,
-            hidden_activation=cfg.hidden_activation)
+            hidden_activation=cfg.hidden_activation,
+            compute_dtype=cfg.compute_dtype)
         edge_network = nn.remat(MLP)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
             hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
-            output_activation="Tanh", hidden_activation=cfg.hidden_activation)
+            output_activation="Tanh", hidden_activation=cfg.hidden_activation,
+            compute_dtype=cfg.compute_dtype)
         supernode_network = nn.remat(MLP)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
             hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
             output_activation=cfg.hidden_activation,
-            hidden_activation=cfg.hidden_activation)
+            hidden_activation=cfg.hidden_activation,
+            compute_dtype=cfg.compute_dtype)
         superedge_network = nn.remat(MLP)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
             hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
-            output_activation="Tanh", hidden_activation=cfg.hidden_activation)
+            output_activation="Tanh", hidden_activation=cfg.hidden_activation,
+            compute_dtype=cfg.compute_dtype)
 
         bgraph, bweights = bipartite
         sgraph, sweights = super_graph

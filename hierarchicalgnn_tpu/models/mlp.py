@@ -60,27 +60,32 @@ class MLP(nn.Module):
     hidden_activation: str = "GELU"
     output_activation: Optional[str] = "GELU"
     layer_norm: bool = False
+    compute_dtype: Optional[str] = None  # "bfloat16" runs matmuls at 2x MXU
+                                         # rate (params stay f32; LayerNorm
+                                         # statistics stay f32)
 
     @nn.compact
     def __call__(self, x):
+        dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         act = activation(self.hidden_activation)
         sizes: Sequence[int] = (
             [self.hidden_size] * (self.hidden_layers - 1) + [self.output_size]
         )
         for i, size in enumerate(sizes[:-1]):
             kinit = first_layer_init if i == 0 else hidden_layer_init
-            x = nn.Dense(size, kernel_init=kinit, bias_init=nn.initializers.zeros)(x)
+            x = nn.Dense(size, kernel_init=kinit, dtype=dtype,
+                         bias_init=nn.initializers.zeros)(x)
             if self.layer_norm:
                 x = nn.LayerNorm(epsilon=1e-5)(x)
             x = act(x)
         kinit = first_layer_init if len(sizes) == 1 else hidden_layer_init
-        x = nn.Dense(sizes[-1], kernel_init=kinit,
+        x = nn.Dense(sizes[-1], kernel_init=kinit, dtype=dtype,
                      bias_init=nn.initializers.zeros)(x)
         if self.output_activation is not None:
             if self.layer_norm:
                 x = nn.LayerNorm(epsilon=1e-5)(x)
             x = activation(self.output_activation)(x)
-        return x
+        return x.astype(jnp.float32) if dtype is not None else x
 
 
 class MatchDims(nn.Module):

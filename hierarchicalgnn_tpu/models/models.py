@@ -43,7 +43,8 @@ class EdgeClassifierIN(nn.Module):
             hidden_size=cfg.hidden, output_size=1,
             hidden_layers=cfg.output_layers, layer_norm=cfg.layernorm,
             output_activation=None,
-            hidden_activation=cfg.hidden_output_activation)
+            hidden_activation=cfg.hidden_output_activation,
+            compute_dtype=cfg.compute_dtype)
         scores = edge_classifier(
             jnp.concatenate([edges[:e], edges[e:]], -1))[:, 0]
         return jnp.where(graph.edge_mask, nn.sigmoid(scores), 0.0)
@@ -99,7 +100,8 @@ class BipartiteClassifierHGNN(nn.Module):
             hidden_size=cfg.hidden, output_size=1,
             hidden_layers=cfg.output_layers, layer_norm=cfg.layernorm,
             output_activation=None,
-            hidden_activation=cfg.hidden_output_activation)
+            hidden_activation=cfg.hidden_output_activation,
+            compute_dtype=cfg.compute_dtype)
         scores = nn.sigmoid(bipartite_output_layer(jnp.concatenate(
             [nodes[bgraph.senders], supernodes[bgraph.receivers]], -1))[:, 0])
         scores = jnp.where(bgraph.edge_mask, scores, 0.0)
@@ -125,7 +127,8 @@ class GMRT(nn.Module):
             hidden_size=cfg.hidden, output_size=1,
             hidden_layers=cfg.output_layers, layer_norm=cfg.layernorm,
             output_activation=None,
-            hidden_activation=cfg.hidden_output_activation)
+            hidden_activation=cfg.hidden_output_activation,
+            compute_dtype=cfg.compute_dtype)
         scores = nn.sigmoid(bipartite_output_layer(jnp.concatenate(
             [nodes[bgraph.senders], supernodes[bgraph.receivers]], -1))[:, 0])
         scores = jnp.where(bgraph.edge_mask, scores, 0.0)

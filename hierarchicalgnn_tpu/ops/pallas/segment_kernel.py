@@ -98,9 +98,15 @@ def make_csr_layout(receivers, edge_mask, num_segments, block_r=BLOCK_R,
     seg_vals = receivers[order] - sorted_group * block_r
     seg_local = jnp.full((capacity,), block_r, jnp.int32).at[scatter_to].set(
         jnp.where(in_budget, seg_vals, block_r), mode="drop")
+    # 8x sublane replication: gives the kernel a (8, BLOCK_E)-tileable seg
+    # block with the edge axis on lanes, so the one-hot is built directly in
+    # the transposed (rows x edges) layout the MXU contraction wants.
+    seg_rep = jnp.broadcast_to(
+        seg_local.reshape(capacity // block_e, 1, block_e),
+        (capacity // block_e, 8, block_e))
 
     overflowed = jnp.any(counts > cap_per_group)
-    return CSRLayout(perm=perm, perm_valid=perm_valid, seg_local=seg_local,
+    return CSRLayout(perm=perm, perm_valid=perm_valid, seg_local=seg_rep,
                      receivers=receivers, edge_mask=edge_mask,
                      num_segments=num_segments, overflowed=overflowed)
 
@@ -112,36 +118,34 @@ def _segment_kernel(seg_ref, data_ref, out_ref, *, block_r):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # seg_ref block is (BLOCK_E, 1) -- a column vector so the sublane dim
-    # carries the edge index (TPU tiling: last two block dims must divide
-    # (8, 128) or equal the array dims).  Lane-broadcast against an iota to
-    # build the one-hot with the edge axis on sublanes, ready for the MXU
-    # contraction over edges.
-    seg = seg_ref[:]  # [BLOCK_E, 1] int32; block_r marks padding
-    block_e = seg.shape[0]
-    onehot = (jnp.broadcast_to(seg, (block_e, block_r))
-              == jax.lax.broadcasted_iota(jnp.int32, (block_e, block_r),
-                                          1)).astype(data_ref.dtype)
+    # seg block (1, 8, BLOCK_E): segment ids on lanes (8x sublane-replicated
+    # for tiling legality).  Build the one-hot directly transposed --
+    # onehot_T[r, e] = (seg[e] == r) -- so the contraction below is a
+    # natural (R x E) @ (E x D) MXU matmul with no relayout.
+    seg = seg_ref[0, 0:1, :]  # (1, BLOCK_E); block_r marks padding
+    block_e = seg.shape[1]
+    onehot_t = (jnp.broadcast_to(seg, (block_r, block_e))
+                == jax.lax.broadcasted_iota(jnp.int32, (block_r, block_e),
+                                            0)).astype(data_ref.dtype)
     out_ref[:] += jax.lax.dot_general(
-        onehot, data_ref[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        onehot_t, data_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-def _pallas_aggregate(data_padded, seg_local, num_segments, block_r, block_e,
+def _pallas_aggregate(data_padded, seg_rep, num_segments, block_r, block_e,
                       interpret=False):
     capacity, d = data_padded.shape
     n_groups = -(-num_segments // block_r)
     c_max = capacity // (n_groups * block_e)
     n_rows = n_groups * block_r
 
-    seg_col = seg_local.reshape(capacity, 1)
     out = pl.pallas_call(
         functools.partial(_segment_kernel, block_r=block_r),
         grid=(n_groups, c_max),
         in_specs=[
-            pl.BlockSpec((block_e, 1), lambda g, c: (g * c_max + c, 0),
+            pl.BlockSpec((1, 8, block_e), lambda g, c: (g * c_max + c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, d), lambda g, c: (g * c_max + c, 0),
                          memory_space=pltpu.VMEM),
@@ -150,7 +154,7 @@ def _pallas_aggregate(data_padded, seg_local, num_segments, block_r, block_e,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
         interpret=interpret,
-    )(seg_col, data_padded)
+    )(seg_rep, data_padded)
     return out[:num_segments]
 
 

@@ -83,6 +83,7 @@ class ArchConfig:
     gmm_iters: int = 60
     knn_block_size: int = 1024
     use_pallas: bool = False
+    compute_dtype: str | None = None  # "bfloat16" for 2x-rate MXU matmuls
 
     @staticmethod
     def from_hparams(hparams: dict) -> "ArchConfig":
