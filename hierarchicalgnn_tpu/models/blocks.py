@@ -48,6 +48,26 @@ def l1_normalize(x, axis=-1, eps=1e-12):
     return x / jnp.maximum(n, eps)
 
 
+def sorted_graph_mode(graph: Graph, num_segments: int):
+    """Receiver-sort a graph for the zero-gather Pallas aggregation path.
+
+    Returns (work_graph, agg, plan): the graph re-expressed in sorted order
+    (edge tensors created from it are then aggregation-ready with no
+    per-iteration gather) and the shared aggregator.  See
+    ops/pallas/sorted_agg.py.
+    """
+    from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
+        build_sorted_plan, sorted_aggregate,
+    )
+
+    plan = build_sorted_plan(graph.senders, graph.receivers, graph.edge_mask,
+                             num_segments)
+    work_graph = Graph(plan.senders_sorted, plan.receivers_sorted,
+                       plan.edge_mask_sorted)
+    interpret = jax.default_backend() != "tpu"
+    return work_graph, (lambda d: sorted_aggregate(d, plan, interpret)), plan
+
+
 class InteractionGNNBlock(nn.Module):
     """Node/edge encoders + N interaction cells [+ embedding head].
 
@@ -60,7 +80,10 @@ class InteractionGNNBlock(nn.Module):
     emb: bool = True
 
     @nn.compact
-    def __call__(self, x, graph: Graph):
+    def __call__(self, x, graph: Graph, agg=None):
+        """``graph`` may be a receiver-sorted work graph with ``agg`` its
+        shared sorted aggregator (built at the model level so the
+        hierarchical block can reuse the same ordering)."""
         cfg = self.cfg
         node_encoder = nn.remat(MLP)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
@@ -79,10 +102,10 @@ class InteractionGNNBlock(nn.Module):
         edges = edge_encoder(
             jnp.concatenate([x[graph.senders], x[graph.receivers]], -1))
 
-        # One aggregation plan for all iterations (the Pallas CSR layout
-        # depends only on the fixed graph structure).
-        agg = make_aggregator(graph.receivers, graph.edge_mask, x.shape[0],
-                              use_pallas=cfg.use_pallas)
+        # One aggregation plan for all iterations.
+        if agg is None:
+            agg = make_aggregator(graph.receivers, graph.edge_mask,
+                                  x.shape[0])
         if cfg.share_weight:
             cell = InteractionGNNCell(self.cfg)
             for _ in range(self.iterations):
@@ -160,7 +183,7 @@ class HierarchicalGNNBlock(nn.Module):
 
     @nn.compact
     def __call__(self, embeddings, nodes, edges, graph: Graph,
-                 node_mask=None, training: bool = False):
+                 node_mask=None, training: bool = False, agg=None):
         cfg = self.cfg
         n = nodes.shape[0]
         if node_mask is None:
@@ -207,25 +230,63 @@ class HierarchicalGNNBlock(nn.Module):
             dst_mask=cluster_valid)
 
         # Shared aggregation plans for init + all hierarchical iterations.
-        aggs = {
-            "edge_to_node": make_aggregator(
-                graph.receivers, graph.edge_mask, n, cfg.use_pallas),
-            "bip_to_super": make_aggregator(
-                bipartite_graph.receivers, bipartite_graph.edge_mask,
-                cfg.max_clusters, cfg.use_pallas),
-            "bip_to_node": make_aggregator(
-                bipartite_graph.senders, bipartite_graph.edge_mask, n,
-                cfg.use_pallas),
-            "super_to_super": make_aggregator(
-                super_graph.receivers, super_graph.edge_mask,
-                cfg.max_clusters, cfg.use_pallas),
-        }
+        # In sorted-native mode each direction gets its own receiver-sorted
+        # copy of the dynamic edge lists (structure + weights are fresh per
+        # forward, so the sorts replace -- not add to -- data movement).
+        if cfg.use_pallas:
+            from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
+                build_sorted_plan, sorted_aggregate,
+            )
+            interp = jax.default_backend() != "tpu"
+            s_plan = build_sorted_plan(
+                super_graph.senders, super_graph.receivers,
+                super_graph.edge_mask, cfg.max_clusters)
+            super_graph = Graph(s_plan.senders_sorted, s_plan.receivers_sorted,
+                                s_plan.edge_mask_sorted)
+            super_weights = s_plan.sort(super_weights)
+            b1 = build_sorted_plan(
+                bipartite_graph.senders, bipartite_graph.receivers,
+                bipartite_graph.edge_mask, cfg.max_clusters)
+            b2 = build_sorted_plan(
+                bipartite_graph.receivers, bipartite_graph.senders,
+                bipartite_graph.edge_mask, n)
+            w1 = b1.sort(bipartite_weights)
+            w2 = b2.sort(bipartite_weights)
+            bipartite_graph = Graph(b1.senders_sorted, b1.receivers_sorted,
+                                    b1.edge_mask_sorted)
+            bipartite_weights = w1
+            aggs = {
+                "edge_to_node": agg or make_aggregator(
+                    graph.receivers, graph.edge_mask, n),
+                "bip_to_super": (
+                    lambda d: sorted_aggregate(d, b1, interp),
+                    b1.senders_sorted, w1),
+                "bip_to_node": (
+                    lambda d: sorted_aggregate(d, b2, interp),
+                    b2.senders_sorted, w2),
+                "super_to_super": lambda d: sorted_aggregate(d, s_plan, interp),
+            }
+        else:
+            aggs = {
+                "edge_to_node": agg or make_aggregator(
+                    graph.receivers, graph.edge_mask, n),
+                "bip_to_super": (make_aggregator(
+                    bipartite_graph.receivers, bipartite_graph.edge_mask,
+                    cfg.max_clusters),
+                    bipartite_graph.senders, bipartite_weights),
+                "bip_to_node": (make_aggregator(
+                    bipartite_graph.senders, bipartite_graph.edge_mask, n),
+                    bipartite_graph.receivers, bipartite_weights),
+                "super_to_super": make_aggregator(
+                    super_graph.receivers, super_graph.edge_mask,
+                    cfg.max_clusters),
+            }
 
         # --- supernode / superedge initialization ---
         init_nodes = l1_normalize(nodes) if self.l1_norm_supernode_init else nodes
-        agg = aggs["bip_to_super"](
-            init_nodes[bipartite_graph.senders] * bipartite_weights)
-        supernodes = jnp.concatenate([means, supernode_encoder(agg)], -1)
+        agg_to_super, b_send, w_init = aggs["bip_to_super"]
+        agg_init = agg_to_super(init_nodes[b_send] * w_init)
+        supernodes = jnp.concatenate([means, supernode_encoder(agg_init)], -1)
         superedges = superedge_encoder(jnp.concatenate(
             [supernodes[super_graph.senders],
              supernodes[super_graph.receivers]], -1))

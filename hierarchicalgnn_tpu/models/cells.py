@@ -67,8 +67,7 @@ class InteractionGNNCell(nn.Module):
 
         n = nodes.shape[0]
         if agg is None:
-            agg = make_aggregator(graph.receivers, graph.edge_mask, n,
-                                  use_pallas=self.cfg.use_pallas)
+            agg = make_aggregator(graph.receivers, graph.edge_mask, n)
         edge_messages = agg(edges)
         nodes = node_network(jnp.concatenate([nodes, edge_messages], -1)) + nodes
 
@@ -125,27 +124,32 @@ class HierarchicalGNNCell(nn.Module):
         n_nodes = nodes.shape[0]
         n_super = supernodes.shape[0]
         if aggs is None:
-            up = cfg.use_pallas
             aggs = {
                 "edge_to_node": make_aggregator(
-                    graph.receivers, graph.edge_mask, n_nodes, up),
-                "bip_to_super": make_aggregator(
-                    bgraph.receivers, bgraph.edge_mask, n_super, up),
-                "bip_to_node": make_aggregator(
-                    bgraph.senders, bgraph.edge_mask, n_nodes, up),
+                    graph.receivers, graph.edge_mask, n_nodes),
+                "bip_to_super": (make_aggregator(
+                    bgraph.receivers, bgraph.edge_mask, n_super),
+                    bgraph.senders, bweights),
+                "bip_to_node": (make_aggregator(
+                    bgraph.senders, bgraph.edge_mask, n_nodes),
+                    bgraph.receivers, bweights),
                 "super_to_super": make_aggregator(
-                    sgraph.receivers, sgraph.edge_mask, n_super, up),
+                    sgraph.receivers, sgraph.edge_mask, n_super),
             }
+        # The bipartite aggregators carry their own edge-order arrays: in
+        # sorted-native (Pallas) mode each direction uses its own
+        # receiver-sorted copy of the bipartite edge list + weights.
+        agg_to_super, b_send, w1 = aggs["bip_to_super"]
+        agg_to_node, b_cluster, w2 = aggs["bip_to_node"]
 
         # --- supernode update from OLD nodes (reference :138-145) ---
-        node_messages = aggs["bip_to_super"](nodes[bgraph.senders] * bweights)
+        node_messages = agg_to_super(nodes[b_send] * w1)
         attention_messages = aggs["super_to_super"](superedges * sweights)
         new_supernodes = supernode_network(jnp.concatenate(
             [supernodes, attention_messages, node_messages], -1)) + supernodes
 
         # --- node update from NEW supernodes (reference :119-127) ---
-        supernode_messages = aggs["bip_to_node"](
-            new_supernodes[bgraph.receivers] * bweights)
+        supernode_messages = agg_to_node(new_supernodes[b_cluster] * w2)
         edge_messages = aggs["edge_to_node"](edges)
         new_nodes = node_network(jnp.concatenate(
             [nodes, edge_messages, supernode_messages], -1)) + nodes

@@ -18,7 +18,15 @@ from flax import linen as nn
 from hierarchicalgnn_tpu.ops.graph import Graph, bidirectionalize
 from hierarchicalgnn_tpu.models.blocks import (
     GMRTEncoders, HierarchicalGNNBlock, InteractionGNNBlock,
+    sorted_graph_mode,
 )
+
+
+def _work_graph(cfg, directed, num_nodes):
+    """Receiver-sorted work graph + shared aggregator in Pallas mode."""
+    if cfg.use_pallas:
+        return sorted_graph_mode(directed, num_nodes)
+    return directed, None, None
 from hierarchicalgnn_tpu.models.mlp import MLP
 from hierarchicalgnn_tpu.utils.config import ArchConfig
 
@@ -37,8 +45,11 @@ class EdgeClassifierIN(nn.Module):
         cfg = self.cfg
         e = graph.capacity
         directed = bidirectionalize(graph)
+        work, agg, plan = _work_graph(cfg, directed, x.shape[0])
         nodes, edges = InteractionGNNBlock(
-            cfg, cfg.n_interaction_graph_iters, emb=False)(x, directed)
+            cfg, cfg.n_interaction_graph_iters, emb=False)(x, work, agg=agg)
+        if plan is not None:
+            edges = plan.unsort(edges)  # pair directed copies in input order
         edge_classifier = MLP(
             hidden_size=cfg.hidden, output_size=1,
             hidden_layers=cfg.output_layers, layer_norm=cfg.layernorm,
@@ -58,8 +69,10 @@ class EmbeddingIN(nn.Module):
     @nn.compact
     def __call__(self, x, graph: Graph, node_mask=None, training: bool = False):
         directed = bidirectionalize(graph)
+        work, agg, _ = _work_graph(self.cfg, directed, x.shape[0])
         embeddings, _, _ = InteractionGNNBlock(
-            self.cfg, self.cfg.n_interaction_graph_iters, emb=True)(x, directed)
+            self.cfg, self.cfg.n_interaction_graph_iters, emb=True)(
+                x, work, agg=agg)
         return embeddings
 
 
@@ -71,12 +84,14 @@ class EmbeddingHGNNGMM(nn.Module):
     @nn.compact
     def __call__(self, x, graph: Graph, node_mask=None, training: bool = False):
         directed = bidirectionalize(graph)
+        work, agg, _ = _work_graph(self.cfg, directed, x.shape[0])
         intermediate, nodes, edges = InteractionGNNBlock(
-            self.cfg, self.cfg.n_interaction_graph_iters, emb=True)(x, directed)
+            self.cfg, self.cfg.n_interaction_graph_iters, emb=True)(
+                x, work, agg=agg)
         embeddings, aux = HierarchicalGNNBlock(
             self.cfg, l1_norm_supernode_init=False, emb_output=True)(
-                intermediate, nodes, edges, directed,
-                node_mask=node_mask, training=training)
+                intermediate, nodes, edges, work,
+                node_mask=node_mask, training=training, agg=agg)
         return embeddings, intermediate, aux
 
 
@@ -89,12 +104,13 @@ class BipartiteClassifierHGNN(nn.Module):
     def __call__(self, x, graph: Graph, node_mask=None, training: bool = False):
         cfg = self.cfg
         directed = bidirectionalize(graph)
+        work, agg, _ = _work_graph(cfg, directed, x.shape[0])
         intermediate, nodes, edges = InteractionGNNBlock(
-            cfg, cfg.n_interaction_graph_iters, emb=True)(x, directed)
+            cfg, cfg.n_interaction_graph_iters, emb=True)(x, work, agg=agg)
         nodes, supernodes, (bgraph, bweights), aux = HierarchicalGNNBlock(
             cfg, l1_norm_supernode_init=True, emb_output=False)(
-                intermediate, nodes, edges, directed,
-                node_mask=node_mask, training=training)
+                intermediate, nodes, edges, work,
+                node_mask=node_mask, training=training, agg=agg)
 
         bipartite_output_layer = nn.remat(MLP)(
             hidden_size=cfg.hidden, output_size=1,
@@ -117,11 +133,12 @@ class GMRT(nn.Module):
     def __call__(self, x, graph: Graph, node_mask=None, training: bool = False):
         cfg = self.cfg
         directed = bidirectionalize(graph)
-        embeddings, nodes, edges = GMRTEncoders(cfg)(x, directed)
+        work, agg, _ = _work_graph(cfg, directed, x.shape[0])
+        embeddings, nodes, edges = GMRTEncoders(cfg)(x, work)
         nodes, supernodes, (bgraph, bweights), aux = HierarchicalGNNBlock(
             cfg, l1_norm_supernode_init=True, emb_output=False)(
-                embeddings, nodes, edges, directed,
-                node_mask=node_mask, training=training)
+                embeddings, nodes, edges, work,
+                node_mask=node_mask, training=training, agg=agg)
 
         bipartite_output_layer = nn.remat(MLP)(
             hidden_size=cfg.hidden, output_size=1,

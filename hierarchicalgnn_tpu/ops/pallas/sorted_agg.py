@@ -1,0 +1,241 @@
+"""Sorted-native Pallas segment aggregation: zero-gather message reduction.
+
+The blocked-CSR kernel in ``segment_kernel.py`` is fast (MXU-bound) but
+pays an 18 ms XLA gather to materialize its padded layout at TrackML scale
+-- 3x the kernel itself.  This module removes the gather: edge tensors
+*live* in receiver-sorted order for the whole forward pass (the sort is a
+per-forward int permutation of the graph; edge features are then created
+sorted by construction), and the kernel walks variable-length row-group
+extents with scalar-prefetched chunk offsets:
+
+  * edges sorted by receiver: group g's edges occupy [start[g], end[g]) --
+    contiguous, no padding slots, no data movement.
+  * grid (group, chunk): chunk c covers block ``chunk_base[g] + c`` of the
+    sorted edge array (block-aligned, so boundary chunks contain a few
+    foreign edges -- masked out by the row-range check in the one-hot).
+  * per-group chunk counts are prefetched; surplus grid steps clamp their
+    index map to the last needed block (no re-DMA) and skip the matmul.
+
+Backward is a near-sequential gather ``cotangent[receivers_sorted]`` via
+custom VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_E = 512
+BLOCK_R = 256
+
+
+@struct.dataclass
+class SortedPlan:
+    """Receiver-sort plan for a fixed edge structure."""
+
+    perm: jnp.ndarray              # int32[E_pad]: original idx per sorted slot
+    inv_perm: jnp.ndarray          # int32[E_pad]: sorted slot per original idx
+    senders_sorted: jnp.ndarray    # int32[E_pad]
+    receivers_sorted: jnp.ndarray  # int32[E_pad]
+    edge_mask_sorted: jnp.ndarray  # bool[E_pad]
+    seg_rep: jnp.ndarray           # int32[E_pad//BE, 8, BE] sentinel=n_rows
+    chunk_base: jnp.ndarray        # int32[G]
+    n_chunks: jnp.ndarray          # int32[G] (>=1)
+    overflowed: jnp.ndarray        # bool[]
+    num_segments: int = struct.field(pytree_node=False)
+    block_r: int = struct.field(pytree_node=False)
+    block_e: int = struct.field(pytree_node=False)
+    c_max: int = struct.field(pytree_node=False)
+
+    def sort(self, x):
+        """Bring an original-order edge array into (padded) sorted order.
+
+        Slots that are padding or invalid are zero-filled.
+        """
+        idx = jnp.minimum(self.perm, x.shape[0] - 1)
+        out = x[idx]
+        m = self.edge_mask_sorted
+        m = m.reshape(m.shape + (1,) * (out.ndim - 1))
+        return jnp.where(m, out, jnp.zeros((), out.dtype))
+
+    def unsort(self, x):
+        """Recover original edge order (original capacity)."""
+        return x[self.inv_perm]
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "block_r",
+                                             "block_e", "c_max"))
+def build_sorted_plan(senders, receivers, edge_mask, num_segments,
+                      block_r=BLOCK_R, block_e=BLOCK_E,
+                      c_max: int | None = None) -> SortedPlan:
+    """Sort edges by receiver (invalid last) and precompute chunk extents.
+
+    ``c_max`` bounds chunks per row-group; a group needing more sets
+    ``overflowed`` (dispatcher falls back to XLA).  Edge capacity is padded
+    internally to a ``block_e`` multiple; the plan's sorted arrays (and any
+    data created in plan order) use the padded length, while ``unsort``
+    recovers the original capacity.
+    """
+    receivers = receivers.astype(jnp.int32)
+    e_orig = receivers.shape[0]
+    pad = (-e_orig) % block_e
+    if pad:
+        receivers = jnp.pad(receivers, (0, pad))
+        senders = jnp.pad(senders, (0, pad))
+        edge_mask = jnp.pad(edge_mask, (0, pad))
+    e_pad = receivers.shape[0]
+    n_groups = -(-num_segments // block_r)
+    n_rows = n_groups * block_r
+    n_blocks = e_pad // block_e
+    if c_max is None:
+        uniform = max(1, -(-e_pad // (n_groups * block_e)))
+        c_max = min(2 * uniform + 1, n_blocks)
+
+    key = jnp.where(edge_mask, receivers, n_rows)
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+    # inv_perm maps ORIGINAL edge indices -> sorted slots (padding slots
+    # beyond the original capacity are dropped)
+    inv_perm = (jnp.zeros((e_orig,), jnp.int32)
+                .at[perm].set(jnp.arange(e_pad, dtype=jnp.int32),
+                              mode="drop"))
+    mask_sorted = edge_mask[perm]
+    receivers_sorted = jnp.where(mask_sorted, receivers[perm], 0)
+    senders_sorted = jnp.where(mask_sorted, senders.astype(jnp.int32)[perm], 0)
+    seg = jnp.where(mask_sorted, receivers_sorted, n_rows)
+
+    group = jnp.minimum(seg // block_r, n_groups)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(group), group, num_segments=n_groups + 1)[:n_groups]
+    starts = jnp.concatenate([jnp.zeros((1,), counts.dtype),
+                              jnp.cumsum(counts)[:-1]]).astype(jnp.int32)
+    ends = (starts + counts).astype(jnp.int32)
+    chunk_base = starts // block_e
+    last_block = jnp.maximum((ends - 1) // block_e, chunk_base)
+    n_chunks = jnp.where(counts > 0, last_block - chunk_base + 1, 1)
+    chunk_base = jnp.minimum(chunk_base, n_blocks - 1)
+
+    seg_rep = jnp.broadcast_to(
+        seg.reshape(n_blocks, 1, block_e), (n_blocks, 8, block_e))
+
+    overflowed = jnp.any(n_chunks > c_max)
+    return SortedPlan(
+        perm=perm, inv_perm=inv_perm, senders_sorted=senders_sorted,
+        receivers_sorted=receivers_sorted, edge_mask_sorted=mask_sorted,
+        seg_rep=seg_rep, chunk_base=chunk_base,
+        n_chunks=n_chunks.astype(jnp.int32), overflowed=overflowed,
+        num_segments=num_segments, block_r=block_r, block_e=block_e,
+        c_max=c_max)
+
+
+def _sorted_kernel(cb_ref, nch_ref, seg_ref, data_ref, out_ref, *, block_r):
+    g = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(c < nch_ref[g])
+    def _():
+        # seg block (1, 8, BLOCK_E): global row ids on lanes.  Subtract the
+        # group's row offset; foreign/invalid edges fall outside [0, R) and
+        # produce all-zero one-hot columns.
+        seg = seg_ref[0, 0:1, :] - g * block_r  # (1, BLOCK_E)
+        block_e = seg.shape[1]
+        onehot_t = (jnp.broadcast_to(seg, (block_r, block_e))
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (block_r, block_e), 0)
+                    ).astype(data_ref.dtype)
+        out_ref[:] += jax.lax.dot_general(
+            onehot_t, data_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+
+def _pallas_sorted_aggregate(data_sorted, seg_rep, chunk_base, n_chunks,
+                             num_segments, block_r, block_e, c_max,
+                             interpret=False):
+    e_pad, d = data_sorted.shape
+    n_groups = -(-num_segments // block_r)
+    n_rows = n_groups * block_r
+    n_blocks = e_pad // block_e
+
+    def block_idx(g, c, cb, nch):
+        # clamp surplus steps to the last needed block: index unchanged
+        # across skipped iterations -> no re-DMA
+        return jnp.minimum(cb[g] + jnp.minimum(c, nch[g] - 1), n_blocks - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups, c_max),
+        in_specs=[
+            pl.BlockSpec((1, 8, block_e),
+                         lambda g, c, cb, nch: (block_idx(g, c, cb, nch), 0, 0)),
+            pl.BlockSpec((block_e, d),
+                         lambda g, c, cb, nch: (block_idx(g, c, cb, nch), 0)),
+        ],
+        out_specs=pl.BlockSpec((block_r, d), lambda g, c, cb, nch: (g, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_sorted_kernel, block_r=block_r),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
+        interpret=interpret,
+    )(chunk_base, n_chunks, seg_rep, data_sorted)
+    return out[:num_segments]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _sorted_agg(data_sorted, seg_rep, chunk_base, n_chunks, receivers_sorted,
+                mask_sorted, num_segments, block_r, block_e, c_max, interpret):
+    return _pallas_sorted_aggregate(
+        data_sorted, seg_rep, chunk_base, n_chunks, num_segments, block_r,
+        block_e, c_max, interpret)
+
+
+def _sorted_agg_fwd(data_sorted, seg_rep, chunk_base, n_chunks,
+                    receivers_sorted, mask_sorted, num_segments, block_r,
+                    block_e, c_max, interpret):
+    out = _sorted_agg(data_sorted, seg_rep, chunk_base, n_chunks,
+                      receivers_sorted, mask_sorted, num_segments, block_r,
+                      block_e, c_max, interpret)
+    return out, (receivers_sorted, mask_sorted)
+
+
+def _sorted_agg_bwd(num_segments, block_r, block_e, c_max, interpret,
+                    residuals, g):
+    receivers_sorted, mask_sorted = residuals
+    idx = jnp.minimum(receivers_sorted, num_segments - 1)
+    grad = jnp.where(mask_sorted[:, None], g[idx], 0.0)
+    return grad, None, None, None, None, None
+
+
+_sorted_agg.defvjp(_sorted_agg_fwd, _sorted_agg_bwd)
+
+
+def sorted_aggregate(data_sorted, plan: SortedPlan, interpret=False):
+    """Masked segment sum of sorted-order edge ``data`` -> [num_segments, D].
+
+    ``data_sorted`` rows must already be in ``plan`` order (created sorted,
+    or brought over once with ``plan.sort``).  Falls back to XLA scatter on
+    chunk-budget overflow.
+    """
+    from hierarchicalgnn_tpu.ops.segment import segment_sum
+
+    return jax.lax.cond(
+        plan.overflowed,
+        lambda d: segment_sum(
+            jnp.where(plan.edge_mask_sorted[:, None], d, 0.0),
+            plan.receivers_sorted, plan.num_segments,
+            indices_are_sorted=True),
+        lambda d: _sorted_agg(
+            d, plan.seg_rep, plan.chunk_base, plan.n_chunks,
+            plan.receivers_sorted, plan.edge_mask_sorted, plan.num_segments,
+            plan.block_r, plan.block_e, plan.c_max, interpret),
+        data_sorted)

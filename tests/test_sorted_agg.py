@@ -1,0 +1,92 @@
+"""Sorted-native Pallas aggregation vs XLA oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
+    build_sorted_plan, sorted_aggregate,
+)
+from hierarchicalgnn_tpu.ops.segment import segment_sum
+
+
+def problem(rng, n_nodes, n_edges, e_pad, dim, skew=False):
+    if skew:
+        hot = rng.integers(0, max(n_nodes // 20, 1), n_edges // 2)
+        cold = rng.integers(0, n_nodes, n_edges - len(hot))
+        receivers = np.concatenate([hot, cold]).astype(np.int32)
+    else:
+        receivers = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    senders = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    mask = np.zeros(e_pad, bool)
+    mask[:n_edges] = True
+    rpad = np.pad(receivers, (0, e_pad - n_edges))
+    spad = np.pad(senders, (0, e_pad - n_edges))
+    data = rng.normal(size=(e_pad, dim)).astype(np.float32)
+    return (jnp.array(spad), jnp.array(rpad), jnp.array(mask),
+            jnp.array(data))
+
+
+@pytest.mark.parametrize("n_nodes,n_edges,e_pad,dim,c_max", [
+    (512, 2000, 2048, 128, None),
+    (300, 1500, 2048, 128, None),      # ragged num_segments
+    (1024, 100, 1024, 256, None),      # sparse, empty groups
+    (256, 1024, 1024, 128, 8),         # explicit chunk budget
+])
+def test_matches_xla(rng, n_nodes, n_edges, e_pad, dim, c_max):
+    s, r, mask, data = problem(rng, n_nodes, n_edges, e_pad, dim)
+    plan = build_sorted_plan(s, r, mask, n_nodes, block_r=128, block_e=128,
+                             c_max=c_max)
+    assert not bool(plan.overflowed)
+    out = sorted_aggregate(plan.sort(data), plan, interpret=True)
+    expected = segment_sum(data, r, n_nodes, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_skewed_overflow_fallback(rng):
+    s, r, mask, data = problem(rng, 512, 2048, 2048, 128, skew=True)
+    plan = build_sorted_plan(s, r, mask, 512, block_r=128, block_e=128,
+                             c_max=2)
+    assert bool(plan.overflowed)
+    out = sorted_aggregate(plan.sort(data), plan, interpret=True)
+    expected = segment_sum(data, r, 512, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_sort_unsort_roundtrip(rng):
+    s, r, mask, data = problem(rng, 128, 500, 512, 128)
+    plan = build_sorted_plan(s, r, mask, 128, block_r=128, block_e=128)
+    # roundtrip restores valid rows; invalid rows are zero-filled by sort()
+    rt = np.asarray(plan.unsort(plan.sort(data)))
+    m0 = np.asarray(mask)
+    np.testing.assert_array_equal(rt[m0], np.asarray(data)[m0])
+    assert (rt[~m0] == 0).all()
+    # sorted receivers ascending among valid
+    rs = np.asarray(plan.receivers_sorted)
+    ms = np.asarray(plan.edge_mask_sorted)
+    valid = rs[ms]
+    assert (np.diff(valid) >= 0).all()
+    # senders travel with their edges (invalid slots zero-filled)
+    expect = np.asarray(s)[np.asarray(plan.perm)]
+    np.testing.assert_array_equal(np.asarray(plan.senders_sorted)[ms],
+                                  expect[ms])
+
+
+def test_gradient(rng):
+    s, r, mask, data = problem(rng, 256, 800, 1024, 128)
+    plan = build_sorted_plan(s, r, mask, 256, block_r=128, block_e=128)
+    ds = plan.sort(data)
+
+    def f(d):
+        return jnp.sum(sorted_aggregate(d, plan, interpret=True) ** 2)
+
+    def f_ref(d):
+        return jnp.sum(segment_sum(plan.unsort(d), r, 256, mask=mask) ** 2)
+
+    g = jax.grad(f)(ds)
+    g_ref = jax.grad(f_ref)(ds)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
