@@ -90,3 +90,52 @@ def test_dp_matches_single_device():
     np.testing.assert_allclose(float(m_sharded["training_loss"]),
                                float(m_single["training_loss"]),
                                rtol=1e-4)
+
+
+def test_halo_partitioned_flat_in_matches_unsharded(rng):
+    """Edge-partitioned shard_map flat-IN == unsharded oracle."""
+    from hierarchicalgnn_tpu.models.mlp import MLP
+    from hierarchicalgnn_tpu.parallel import halo
+
+    n_parts, n_nodes, latent = 4, 64, 16
+    n_edges = 200
+    x = rng.normal(size=(n_nodes, 3)).astype(np.float32)
+    senders = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    receivers = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    mask = np.ones(n_edges, bool)
+
+    mlps = (
+        MLP(hidden_size=32, output_size=latent, hidden_layers=2,
+            layer_norm=True),
+        MLP(hidden_size=32, output_size=latent, hidden_layers=2,
+            layer_norm=True),
+        MLP(hidden_size=32, output_size=latent, hidden_layers=2,
+            layer_norm=True),
+        MLP(hidden_size=32, output_size=latent, hidden_layers=2,
+            output_activation="Tanh", layer_norm=True),
+    )
+    key = jax.random.key(0)
+    params = {
+        "node_enc": mlps[0].init(key, jnp.zeros((1, 3)))["params"],
+        "edge_enc": mlps[1].init(key, jnp.zeros((1, 6)))["params"],
+        "node_net": mlps[2].init(key, jnp.zeros((1, 2 * latent)))["params"],
+        "edge_net": mlps[3].init(key, jnp.zeros((1, 3 * latent)))["params"],
+    }
+
+    oracle = halo.flat_in_reference_step(
+        params, mlps, jnp.asarray(x), jnp.asarray(senders),
+        jnp.asarray(receivers), jnp.asarray(mask), n_nodes, iterations=2)
+
+    s_p, r_p, m_p = halo.partition_edges_by_receiver(
+        senders, receivers, mask, n_nodes, n_parts)
+    mesh = make_mesh(data=1, graph=n_parts)
+    mesh1 = jax.sharding.Mesh(np.asarray(mesh.devices).reshape(-1), ("graph",))
+    fwd = halo.make_halo_flat_forward(
+        halo.make_halo_flat_in(mlps, iterations=2), mesh1)
+    # flatten per-device stacks into globally-sharded arrays
+    nodes_out = fwd(params, jnp.asarray(x),
+                    jnp.asarray(s_p.reshape(-1)),
+                    jnp.asarray(r_p.reshape(-1)),
+                    jnp.asarray(m_p.reshape(-1)))
+    np.testing.assert_allclose(np.asarray(nodes_out), np.asarray(oracle),
+                               rtol=2e-4, atol=2e-4)
