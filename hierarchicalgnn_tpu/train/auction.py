@@ -1,0 +1,105 @@
+"""On-device auction algorithm for maximum-weight bipartite matching.
+
+The reference computes assignment truth with scipy
+``min_weight_full_bipartite_matching`` on host per training step
+(reference ``bipartite_classification_base.py:164-174``).  A host callback
+reproduces that, but the TPU runtime used here does not support host
+callbacks inside jit at all -- so the matching must run on device.
+
+Bertsekas' auction algorithm, vectorized over rows: every unassigned
+particle bids ``(best - second_best + eps)`` above the current price of its
+best-value candidate; highest bidder per candidate wins, displacing the
+previous owner.  The reference's virtual candidates (one private
+per-particle escape at value 1e-12, guaranteeing feasibility,
+``:164-173``) become an always-available private option -- prices only
+rise, so once the virtual option is a row's best it stays optimal and the
+row retires.  With eps below the value resolution the result matches the
+exact optimum; a fixed iteration cap bounds the loop (rows still
+unassigned at the cap take their virtual escape, i.e. count as unmatched
+-- a conservative truth label).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+VIRTUAL_VALUE = 1e-12
+NEG = -1e30
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
+                  max_iters=256):
+    """Maximum-weight matching of particles to candidates.
+
+    pair_scores: [P, C] dense accumulated scores (padded entries ignored).
+    Returns (col_match int32[P], matched bool[P]): ``matched`` is False for
+    padded rows and rows that took their virtual escape.
+    """
+    p, c = pair_scores.shape
+    row_valid = jnp.arange(p) < n_particles
+    col_valid = jnp.arange(c) < n_clusters
+    a = jnp.where(row_valid[:, None] & col_valid[None, :],
+                  pair_scores.astype(jnp.float32), NEG)
+
+    def body(state):
+        prices, assign, _ = state
+        # assign: -1 unassigned, -2 virtual, >=0 candidate id
+        unassigned = (assign == -1) & row_valid
+
+        net = a - prices[None, :]
+        v1 = jnp.max(net, axis=1)
+        j1 = jnp.argmax(net, axis=1).astype(jnp.int32)
+        net2 = net.at[jnp.arange(p), j1].set(NEG)
+        v2 = jnp.maximum(jnp.max(net2, axis=1), NEG)
+
+        # private virtual escape: no competition, prices never drop, so a
+        # virtual-best row retires permanently
+        take_virtual = unassigned & (VIRTUAL_VALUE >= v1)
+        bid_rows = unassigned & jnp.logical_not(take_virtual)
+        bid_amount = prices[j1] + (v1 - jnp.maximum(v2, VIRTUAL_VALUE)) + eps
+
+        # column auction: highest bid wins; tie-break by row index
+        bids = jnp.where(bid_rows, bid_amount, NEG)
+        best_bid = jax.ops.segment_max(bids, j1, num_segments=c)
+        is_best = bid_rows & (bids >= best_bid[j1])
+        # unique winner per column: lowest row index among best bidders
+        winner_row = jax.ops.segment_min(
+            jnp.where(is_best, jnp.arange(p), p), j1, num_segments=c)
+        won = is_best & (winner_row[j1] == jnp.arange(p))
+
+        # displace previous owners of won columns (scatter-OR: plain .set
+        # has undefined ordering and non-winners would clobber column 0)
+        col_won = jnp.zeros((c,), bool).at[jnp.where(won, j1, 0)].max(won)
+        displaced = (assign >= 0) & col_won[jnp.clip(assign, 0, c - 1)]
+
+        new_assign = jnp.where(displaced, -1, assign)
+        new_assign = jnp.where(won, j1, new_assign)
+        new_assign = jnp.where(take_virtual, -2, new_assign)
+        new_prices = prices.at[jnp.where(won, j1, 0)].max(
+            jnp.where(won, bids, NEG))
+
+        still = jnp.any((new_assign == -1) & row_valid)
+        return new_prices, new_assign, still
+
+    def cond(state):
+        _, _, active = state
+        return active
+
+    prices0 = jnp.zeros((c,), jnp.float32)
+    assign0 = jnp.where(row_valid, -1, -2).astype(jnp.int32)
+
+    def bounded_body(i, state):
+        prices, assign, active = state
+        return jax.lax.cond(active, body, lambda s: s,
+                            (prices, assign, active))
+
+    prices, assign, _ = jax.lax.fori_loop(
+        0, max_iters, bounded_body, (prices0, assign0, jnp.asarray(True)))
+
+    matched = (assign >= 0) & row_valid
+    col_match = jnp.where(matched, assign, 0).astype(jnp.int32)
+    return col_match, matched

@@ -58,15 +58,20 @@ def _host_matching(pair_scores, n_particles, n_clusters, p_max):
     return out_r, out_c, out_v
 
 
-@functools.partial(jax.jit, static_argnames=("max_clusters",))
+@functools.partial(jax.jit, static_argnames=("max_clusters", "backend"))
 def match_particles_to_candidates(scores, bip_senders, bip_receivers,
                                   bip_mask, pid_compact, particle_pid,
-                                  n_particles, n_clusters, max_clusters):
+                                  n_particles, n_clusters, max_clusters,
+                                  backend="auction"):
     """Returns (truth bool[E_b], row_match, col_match, match_valid).
 
     truth[e] = True iff the particle of hit bip_senders[e] was matched to
     candidate bip_receivers[e] (reference :176-185).  Noise particles and
     virtual-candidate matches are filtered from the matching.
+
+    ``backend``: "auction" (on-device Bertsekas auction, default -- the
+    TPU runtime here has no host-callback support) or "host" (scipy exact
+    matching via pure_callback, for CPU/GPU runs and as the test oracle).
     """
     p_max = particle_pid.shape[0]
 
@@ -77,14 +82,20 @@ def match_particles_to_candidates(scores, bip_senders, bip_receivers,
         jnp.where(bip_mask, scores, 0.0), flat, p_max * max_clusters
     ).reshape(p_max, max_clusters)
 
-    row_match, col_match, valid = jax.pure_callback(
-        functools.partial(_host_matching, p_max=p_max),
-        (jax.ShapeDtypeStruct((p_max,), jnp.int32),
-         jax.ShapeDtypeStruct((p_max,), jnp.int32),
-         jax.ShapeDtypeStruct((p_max,), bool)),
-        pair_scores, n_particles, n_clusters,
-        vmap_method="sequential",  # batched under event-DP vmap
-    )
+    if backend == "auction":
+        from hierarchicalgnn_tpu.train.auction import auction_match
+        col_match, valid = auction_match(pair_scores, n_particles,
+                                         n_clusters)
+        row_match = jnp.arange(p_max, dtype=jnp.int32)
+    else:
+        row_match, col_match, valid = jax.pure_callback(
+            functools.partial(_host_matching, p_max=p_max),
+            (jax.ShapeDtypeStruct((p_max,), jnp.int32),
+             jax.ShapeDtypeStruct((p_max,), jnp.int32),
+             jax.ShapeDtypeStruct((p_max,), bool)),
+            pair_scores, n_particles, n_clusters,
+            vmap_method="sequential",  # batched under event-DP vmap
+        )
 
     # noise / virtual filtering (reference :176-177)
     noise_mask = (particle_pid[row_match] != 0) & (col_match < n_clusters) & valid

@@ -194,7 +194,8 @@ class BipartitePipeline:
         truth, row_match, col_match, match_valid = match_particles_to_candidates(
             jax.lax.stop_gradient(scores), bgraph.senders, bgraph.receivers,
             bgraph.edge_mask, batch.pid_compact, batch.particle_pid,
-            batch.n_particles, aux["n_clusters"], hp["max_clusters"])
+            batch.n_particles, aux["n_clusters"], hp["max_clusters"],
+            backend=hp.get("matching_backend", "auction"))
 
         # assignment weight: max(hit weight, matched-particle weight)
         # (reference get_asgmt_weight :123-138)

@@ -60,7 +60,8 @@ class Trainer:
         self.model = model
         self.pipeline = pipeline
         self.run_dir = run_dir
-        self.logger = MetricLogger(run_dir, log_every_n_steps)
+        self.logger = MetricLogger(run_dir, log_every_n_steps,
+                                   wandb_project=hparams.get("wandb_project"))
         self._train_step = None
         self._val_forward = None
 
@@ -227,6 +228,22 @@ class Trainer:
 
         rng = np.random.default_rng(shuffle_seed)
         best_track_eff = -1.0
+        try:
+            state, best_track_eff = self._fit_epochs(
+                state, trainset, valset, rng, start_epoch, max_epochs,
+                accum_for_epoch, best_track_eff)
+        except KeyboardInterrupt:
+            # failure containment: persist an emergency checkpoint so the
+            # run is resumable (the reference relies on Lightning's last.ckpt)
+            self._save(state, "autosave", epoch=start_epoch)
+            raise
+        except Exception:
+            self._save(state, "autosave", epoch=start_epoch)
+            raise
+        return state
+
+    def _fit_epochs(self, state, trainset, valset, rng, start_epoch,
+                    max_epochs, accum_for_epoch, best_track_eff):
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             order = rng.permutation(len(trainset))
@@ -268,7 +285,7 @@ class Trainer:
             if val_metrics.get("track_eff", 0.0) >= best_track_eff:
                 best_track_eff = val_metrics.get("track_eff", 0.0)
                 self._save(state, "best", epoch)
-        return state
+        return state, best_track_eff
 
     def _phase_times(self, state: TrainState, valset) -> dict:
         """gMRT-style pooling/graph-construction epoch timing (reference

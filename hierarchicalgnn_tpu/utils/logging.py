@@ -19,7 +19,7 @@ from typing import Any
 
 class MetricLogger:
     def __init__(self, run_dir: str, log_every_n_steps: int = 50,
-                 stream=None):
+                 stream=None, wandb_project: str | None = None):
         self.run_dir = run_dir
         os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, "metrics.jsonl")
@@ -27,6 +27,15 @@ class MetricLogger:
         self.log_every_n_steps = log_every_n_steps
         self.stream = stream or sys.stdout
         self._start = time.time()
+        self._wandb = None
+        if wandb_project:
+            try:
+                import wandb
+                self._wandb = wandb.init(project=wandb_project,
+                                         dir=run_dir, resume="allow")
+            except Exception:
+                # zero-egress or wandb absent: JSONL remains the record
+                self._wandb = None
 
     def log(self, metrics: dict[str, Any], step: int, epoch: int | None = None,
             prefix: str = "", force_print: bool = False):
@@ -41,6 +50,9 @@ class MetricLogger:
                 record[key] = v
         self._file.write(json.dumps(record) + "\n")
         self._file.flush()
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in record.items()
+                             if isinstance(v, (int, float))}, step=int(step))
         if force_print or (self.log_every_n_steps
                            and step % self.log_every_n_steps == 0):
             parts = " ".join(f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"

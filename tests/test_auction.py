@@ -1,0 +1,83 @@
+"""Auction matching vs the scipy exact-matching oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hierarchicalgnn_tpu.train.auction import auction_match
+
+
+def scipy_oracle(pair_scores, n_particles, n_clusters):
+    """Reference-style matching: scipy with per-row virtual candidates."""
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import min_weight_full_bipartite_matching
+
+    dense = pair_scores[:n_particles, :n_clusters]
+    rows, cols = np.nonzero(dense)
+    data = dense[rows, cols].astype(np.float64)
+    p = n_particles
+    vrows = np.arange(p)
+    vcols = n_clusters + np.arange(p)
+    mat = csr_matrix(
+        (np.concatenate([data, np.full(p, 1e-12)]),
+         (np.concatenate([rows, vrows]), np.concatenate([cols, vcols]))),
+        shape=(p, n_clusters + p))
+    r, c = min_weight_full_bipartite_matching(mat, maximize=True)
+    assign = {int(a): int(b) for a, b in zip(r, c) if b < n_clusters}
+    total = sum(dense[a, b] for a, b in assign.items())
+    return assign, total
+
+
+@pytest.mark.parametrize("p,c,density", [(20, 15, 0.3), (50, 60, 0.1),
+                                         (8, 3, 0.8), (100, 100, 0.05)])
+def test_auction_matches_scipy_objective(rng, p, c, density):
+    p_max, c_max = p + 7, c + 9
+    scores = np.zeros((p_max, c_max), np.float32)
+    m = rng.random((p, c)) < density
+    scores[:p, :c][m] = rng.uniform(0.1, 5.0, m.sum())
+
+    col_match, matched = auction_match(jnp.asarray(scores), p, c,
+                                       eps=1e-5, max_iters=2048)
+    col_match, matched = np.asarray(col_match), np.asarray(matched)
+
+    _, oracle_total = scipy_oracle(scores, p, c)
+    ours_total = sum(scores[i, col_match[i]] for i in range(p) if matched[i])
+
+    # each candidate matched at most once
+    used = col_match[matched[:p].nonzero()[0][:p]]
+    used = col_match[:p][matched[:p]]
+    assert len(used) == len(set(used.tolist()))
+    assert (used < c).all()
+    # eps-optimal: objective within eps * P of the exact optimum
+    assert ours_total >= oracle_total - 1e-5 * p - 1e-6, (
+        ours_total, oracle_total)
+
+
+def test_auction_empty_and_padded(rng):
+    scores = np.zeros((16, 8), np.float32)
+    col_match, matched = auction_match(jnp.asarray(scores), 5, 3)
+    assert not np.asarray(matched)[5:].any()  # padded rows never matched
+
+
+def test_auction_in_bc_pipeline_on_device(rng):
+    """BC loss computes with the auction backend (no host callback)."""
+    import jax
+    from hierarchicalgnn_tpu.data.event import preprocess_event
+    from hierarchicalgnn_tpu.data.synthetic import generate_event
+    from hierarchicalgnn_tpu.models.registry import model_selector
+
+    tiny = {"n_nodes_max": 256, "n_edges_max": 1024, "max_clusters": 64,
+            "max_particles": 64, "latent": 16, "n_interaction_graph_iters": 1,
+            "n_hierarchical_graph_iters": 1, "knn_block_size": 128,
+            "gmm_iters": 10, "matching_backend": "auction"}
+    hp, model, pipeline = model_selector("BC-HGNN-GMM", tiny)
+    raw = generate_event(np.random.default_rng(2), n_particles=12)
+    batch = jax.tree.map(jnp.asarray, preprocess_event(raw, hp))
+    variables = model.init(jax.random.key(0), batch.x, batch.graph,
+                           node_mask=batch.node_mask, training=False)
+    loss, (_, metrics) = jax.jit(
+        lambda p, b: pipeline.loss(p, {k: v for k, v in variables.items()
+                                       if k != "params"}, b, 0,
+                                   training=False)
+    )(variables["params"], batch)
+    assert np.isfinite(float(loss))

@@ -167,3 +167,16 @@ def test_gmrt_phase_times_logged(tmp_path):
         records = [json.loads(l) for l in f]
     assert any("pooling_time" in r and "graph_construct_time" in r
                for r in records)
+
+
+def test_inference_engine_roundtrip(tmp_path):
+    """Train briefly, reload via InferenceEngine, reconstruct an event."""
+    from hierarchicalgnn_tpu.inference import InferenceEngine
+    trainer, events = make_trainer("EC-IN", tmp_path)
+    trainer.fit(events, max_epochs=1, num_sanity_val_steps=0)
+    engine = InferenceEngine.from_run(str(tmp_path), checkpoint="last")
+    bipartite, metrics = engine.reconstruct(events[0], return_metrics=True)
+    assert bipartite.shape[0] == 2
+    assert set(metrics) == {"track_eff", "track_pur", "hit_eff", "hit_pur"}
+    # hit indices refer to the raw event
+    assert bipartite[0].max() < len(events[0]["pid"])
