@@ -88,6 +88,21 @@ class MLP(nn.Module):
         return x.astype(jnp.float32) if dtype is not None else x
 
 
+class DebugPrint(nn.Module):
+    """Debugging pass-through that prints tensor stats in forward
+    (equivalent of the reference's ``PrintLayer``, ``utils.py:198-207``,
+    but jit-safe via ``jax.debug.print``)."""
+
+    tag: str = "debug"
+
+    @nn.compact
+    def __call__(self, x):
+        jax.debug.print(
+            self.tag + ": shape={s} mean={m} std={d}",
+            s=x.shape, m=jnp.mean(x), d=jnp.std(x))
+        return x
+
+
 class MatchDims(nn.Module):
     """Single ``Dense -> [LN] -> [act]``: the gMRT cheap encoder
     (reference ``Modules/utils.py:209-225``)."""
