@@ -57,7 +57,7 @@ def sorted_graph_mode(graph: Graph, num_segments: int):
     ops/pallas/sorted_agg.py.
     """
     from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
-        build_sorted_plan, sorted_aggregate,
+        build_sorted_plan, gather_edge_endpoints, sorted_aggregate,
     )
 
     plan = build_sorted_plan(graph.senders, graph.receivers, graph.edge_mask,
@@ -65,7 +65,9 @@ def sorted_graph_mode(graph: Graph, num_segments: int):
     work_graph = Graph(plan.senders_sorted, plan.receivers_sorted,
                        plan.edge_mask_sorted)
     interpret = jax.default_backend() != "tpu"
-    return work_graph, (lambda d: sorted_aggregate(d, plan, interpret)), plan
+    agg = lambda d: sorted_aggregate(d, plan, interpret)
+    gather = lambda x: gather_edge_endpoints(x, plan, interpret)
+    return work_graph, agg, gather, plan
 
 
 class InteractionGNNBlock(nn.Module):
@@ -80,7 +82,7 @@ class InteractionGNNBlock(nn.Module):
     emb: bool = True
 
     @nn.compact
-    def __call__(self, x, graph: Graph, agg=None):
+    def __call__(self, x, graph: Graph, agg=None, gather=None):
         """``graph`` may be a receiver-sorted work graph with ``agg`` its
         shared sorted aggregator (built at the model level so the
         hierarchical block can reuse the same ordering)."""
@@ -109,11 +111,12 @@ class InteractionGNNBlock(nn.Module):
         if cfg.share_weight:
             cell = InteractionGNNCell(self.cfg)
             for _ in range(self.iterations):
-                nodes, edges = cell(nodes, edges, graph, agg=agg)
+                nodes, edges = cell(nodes, edges, graph, agg=agg,
+                                    gather=gather)
         else:
             for _ in range(self.iterations):
                 nodes, edges = InteractionGNNCell(self.cfg)(
-                    nodes, edges, graph, agg=agg)
+                    nodes, edges, graph, agg=agg, gather=gather)
 
         if not self.emb:
             return nodes, edges
@@ -143,10 +146,12 @@ class HierarchicalGNNBlock(nn.Module):
     emb_output: bool = False
 
     def clustering(self, score_cut_var, embeddings, graph: Graph, node_mask,
-                   training: bool):
+                   training: bool, plan=None):
         """GMM edge-cut + connected components (reference ``HGNN_GMM.py:184-238``).
 
         Runs under stop-gradient; updates the ``score_cut`` EMA buffer.
+        ``plan``: the flat graph's SortedPlan (Pallas mode) -- CC then uses
+        the blocked-CSR VPU min kernel instead of scatter-min hops.
         Returns (clusters int32[N] with -1 fill, n_clusters).
         """
         cfg = self.cfg
@@ -167,23 +172,35 @@ class HierarchicalGNNBlock(nn.Module):
 
         keep = graph.edge_mask & (likelihood >= sc_used)
         n = embeddings.shape[0]
-        clusters, n_clusters = cluster_labels(
-            graph.senders, graph.receivers, keep, n,
-            min_cluster_size=cfg.min_cluster_size, node_mask=node_mask)
+        if plan is not None:
+            from hierarchicalgnn_tpu.ops.connected import cluster_labels_sorted
+            interp = jax.default_backend() != "tpu"
+
+            def cluster(mask):
+                return cluster_labels_sorted(
+                    plan, mask, n, min_cluster_size=cfg.min_cluster_size,
+                    node_mask=node_mask, interpret=interp)
+        else:
+            def cluster(mask):
+                return cluster_labels(
+                    graph.senders, graph.receivers, mask, n,
+                    min_cluster_size=cfg.min_cluster_size,
+                    node_mask=node_mask, bidirected=True)
+
+        clusters, n_clusters = cluster(keep)
 
         # Over-cut fallback: <=3 clusters -> recluster on the full graph
-        # (reference ``HGNN_GMM.py:222-232``).
-        fb_clusters, fb_n = cluster_labels(
-            graph.senders, graph.receivers, graph.edge_mask, n,
-            min_cluster_size=cfg.min_cluster_size, node_mask=node_mask)
-        use_fb = n_clusters <= 3
-        clusters = jnp.where(use_fb, fb_clusters, clusters)
-        n_clusters = jnp.where(use_fb, fb_n, n_clusters)
+        # (reference ``HGNN_GMM.py:222-232``).  lax.cond so the second
+        # connected-components pass only runs when actually needed.
+        clusters, n_clusters = jax.lax.cond(
+            n_clusters <= 3, lambda _: cluster(graph.edge_mask),
+            lambda _: (clusters, n_clusters), None)
         return clusters, n_clusters
 
     @nn.compact
     def __call__(self, embeddings, nodes, edges, graph: Graph,
-                 node_mask=None, training: bool = False, agg=None):
+                 node_mask=None, training: bool = False, agg=None,
+                 gather=None, plan=None):
         cfg = self.cfg
         n = nodes.shape[0]
         if node_mask is None:
@@ -213,7 +230,7 @@ class HierarchicalGNNBlock(nn.Module):
 
         # --- pooling ---
         clusters, n_clusters = self.clustering(
-            score_cut, embeddings, graph, node_mask, training)
+            score_cut, embeddings, graph, node_mask, training, plan=plan)
         in_cluster = clusters >= 0
         seg = jnp.where(in_cluster, clusters, 0)
         means = segment_mean(embeddings, seg, cfg.max_clusters, mask=in_cluster)
@@ -233,9 +250,10 @@ class HierarchicalGNNBlock(nn.Module):
         # In sorted-native mode each direction gets its own receiver-sorted
         # copy of the dynamic edge lists (structure + weights are fresh per
         # forward, so the sorts replace -- not add to -- data movement).
+        gathers = None
         if cfg.use_pallas:
             from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
-                build_sorted_plan, sorted_aggregate,
+                build_sorted_plan, gather_edge_endpoints, sorted_aggregate,
             )
             interp = jax.default_backend() != "tpu"
             s_plan = build_sorted_plan(
@@ -265,6 +283,12 @@ class HierarchicalGNNBlock(nn.Module):
                     lambda d: sorted_aggregate(d, b2, interp),
                     b2.senders_sorted, w2),
                 "super_to_super": lambda d: sorted_aggregate(d, s_plan, interp),
+            }
+            gathers = {
+                "graph": (gather if gather is not None
+                          else (lambda x: (x[graph.senders],
+                                           x[graph.receivers]))),
+                "super": lambda x: gather_edge_endpoints(x, s_plan, interp),
             }
         else:
             aggs = {
@@ -302,7 +326,7 @@ class HierarchicalGNNBlock(nn.Module):
             nodes, edges, supernodes, superedges = cell(
                 nodes, edges, supernodes, superedges, graph,
                 (bipartite_graph, bipartite_weights),
-                (super_graph, super_weights), aggs=aggs)
+                (super_graph, super_weights), aggs=aggs, gathers=gathers)
 
         aux = {"clusters": clusters, "n_clusters": n_clusters,
                "cluster_valid": cluster_valid,

@@ -49,9 +49,11 @@ class InteractionGNNCell(nn.Module):
     cfg: ArchConfig
 
     @nn.compact
-    def __call__(self, nodes, edges, graph, agg=None):
+    def __call__(self, nodes, edges, graph, agg=None, gather=None):
         """``agg``: prebuilt edge->receiver aggregator (one per graph per
-        forward; see ops.segment.make_aggregator).  Built ad hoc if None."""
+        forward; see ops.segment.make_aggregator).  ``gather``: endpoint
+        gather ``nodes -> (nodes[s], nodes[r])`` with kernel-backed
+        backward (sorted mode).  Both built ad hoc if None."""
         node_network = nn.remat(MLP)(
             hidden_size=self.cfg.hidden, output_size=self.cfg.latent,
             hidden_layers=self.cfg.nb_node_layer, layer_norm=self.cfg.layernorm,
@@ -68,12 +70,13 @@ class InteractionGNNCell(nn.Module):
         n = nodes.shape[0]
         if agg is None:
             agg = make_aggregator(graph.receivers, graph.edge_mask, n)
+        if gather is None:
+            gather = lambda x: (x[graph.senders], x[graph.receivers])
         edge_messages = agg(edges)
         nodes = node_network(jnp.concatenate([nodes, edge_messages], -1)) + nodes
 
-        edge_input = jnp.concatenate(
-            [nodes[graph.senders], nodes[graph.receivers], edges], -1)
-        edges = edge_network(edge_input) + edges
+        n_src, n_dst = gather(nodes)
+        edges = edge_network(jnp.concatenate([n_src, n_dst, edges], -1)) + edges
         return nodes, edges
 
 
@@ -90,7 +93,7 @@ class HierarchicalGNNCell(nn.Module):
 
     @nn.compact
     def __call__(self, nodes, edges, supernodes, superedges,
-                 graph, bipartite, super_graph, aggs=None):
+                 graph, bipartite, super_graph, aggs=None, gathers=None):
         """bipartite/super_graph: (Graph, weights[E,1]) tuples.
 
         ``aggs``: dict of prebuilt aggregators {edge_to_node, bip_to_super,
@@ -139,6 +142,11 @@ class HierarchicalGNNCell(nn.Module):
         # The bipartite aggregators carry their own edge-order arrays: in
         # sorted-native (Pallas) mode each direction uses its own
         # receiver-sorted copy of the bipartite edge list + weights.
+        if gathers is None:
+            gathers = {
+                "graph": lambda x: (x[graph.senders], x[graph.receivers]),
+                "super": lambda x: (x[sgraph.senders], x[sgraph.receivers]),
+            }
         agg_to_super, b_send, w1 = aggs["bip_to_super"]
         agg_to_node, b_cluster, w2 = aggs["bip_to_node"]
 
@@ -155,11 +163,11 @@ class HierarchicalGNNCell(nn.Module):
             [nodes, edge_messages, supernode_messages], -1)) + nodes
 
         # --- superedge / edge updates (reference :147-153, :129-135) ---
+        sn_src, sn_dst = gathers["super"](new_supernodes)
         new_superedges = superedge_network(jnp.concatenate(
-            [new_supernodes[sgraph.senders], new_supernodes[sgraph.receivers],
-             superedges], -1)) + superedges
+            [sn_src, sn_dst, superedges], -1)) + superedges
+        nn_src, nn_dst = gathers["graph"](new_nodes)
         new_edges = edge_network(jnp.concatenate(
-            [new_nodes[graph.senders], new_nodes[graph.receivers], edges],
-            -1)) + edges
+            [nn_src, nn_dst, edges], -1)) + edges
 
         return new_nodes, new_edges, new_supernodes, new_superedges

@@ -23,10 +23,10 @@ from hierarchicalgnn_tpu.models.blocks import (
 
 
 def _work_graph(cfg, directed, num_nodes):
-    """Receiver-sorted work graph + shared aggregator in Pallas mode."""
+    """Receiver-sorted work graph + shared aggregator/gather in Pallas mode."""
     if cfg.use_pallas:
         return sorted_graph_mode(directed, num_nodes)
-    return directed, None, None
+    return directed, None, None, None
 from hierarchicalgnn_tpu.models.mlp import MLP
 from hierarchicalgnn_tpu.utils.config import ArchConfig
 
@@ -45,9 +45,9 @@ class EdgeClassifierIN(nn.Module):
         cfg = self.cfg
         e = graph.capacity
         directed = bidirectionalize(graph)
-        work, agg, plan = _work_graph(cfg, directed, x.shape[0])
+        work, agg, gather, plan = _work_graph(cfg, directed, x.shape[0])
         nodes, edges = InteractionGNNBlock(
-            cfg, cfg.n_interaction_graph_iters, emb=False)(x, work, agg=agg)
+            cfg, cfg.n_interaction_graph_iters, emb=False)(x, work, agg=agg, gather=gather)
         if plan is not None:
             edges = plan.unsort(edges)  # pair directed copies in input order
         edge_classifier = MLP(
@@ -69,10 +69,10 @@ class EmbeddingIN(nn.Module):
     @nn.compact
     def __call__(self, x, graph: Graph, node_mask=None, training: bool = False):
         directed = bidirectionalize(graph)
-        work, agg, _ = _work_graph(self.cfg, directed, x.shape[0])
+        work, agg, gather, _ = _work_graph(self.cfg, directed, x.shape[0])
         embeddings, _, _ = InteractionGNNBlock(
             self.cfg, self.cfg.n_interaction_graph_iters, emb=True)(
-                x, work, agg=agg)
+                x, work, agg=agg, gather=gather)
         return embeddings
 
 
@@ -84,14 +84,14 @@ class EmbeddingHGNNGMM(nn.Module):
     @nn.compact
     def __call__(self, x, graph: Graph, node_mask=None, training: bool = False):
         directed = bidirectionalize(graph)
-        work, agg, _ = _work_graph(self.cfg, directed, x.shape[0])
+        work, agg, gather, plan = _work_graph(self.cfg, directed, x.shape[0])
         intermediate, nodes, edges = InteractionGNNBlock(
             self.cfg, self.cfg.n_interaction_graph_iters, emb=True)(
-                x, work, agg=agg)
+                x, work, agg=agg, gather=gather)
         embeddings, aux = HierarchicalGNNBlock(
             self.cfg, l1_norm_supernode_init=False, emb_output=True)(
                 intermediate, nodes, edges, work,
-                node_mask=node_mask, training=training, agg=agg)
+                node_mask=node_mask, training=training, agg=agg, gather=gather, plan=plan)
         return embeddings, intermediate, aux
 
 
@@ -104,13 +104,13 @@ class BipartiteClassifierHGNN(nn.Module):
     def __call__(self, x, graph: Graph, node_mask=None, training: bool = False):
         cfg = self.cfg
         directed = bidirectionalize(graph)
-        work, agg, _ = _work_graph(cfg, directed, x.shape[0])
+        work, agg, gather, plan = _work_graph(cfg, directed, x.shape[0])
         intermediate, nodes, edges = InteractionGNNBlock(
-            cfg, cfg.n_interaction_graph_iters, emb=True)(x, work, agg=agg)
+            cfg, cfg.n_interaction_graph_iters, emb=True)(x, work, agg=agg, gather=gather)
         nodes, supernodes, (bgraph, bweights), aux = HierarchicalGNNBlock(
             cfg, l1_norm_supernode_init=True, emb_output=False)(
                 intermediate, nodes, edges, work,
-                node_mask=node_mask, training=training, agg=agg)
+                node_mask=node_mask, training=training, agg=agg, gather=gather, plan=plan)
 
         bipartite_output_layer = nn.remat(MLP)(
             hidden_size=cfg.hidden, output_size=1,
@@ -133,12 +133,12 @@ class GMRT(nn.Module):
     def __call__(self, x, graph: Graph, node_mask=None, training: bool = False):
         cfg = self.cfg
         directed = bidirectionalize(graph)
-        work, agg, _ = _work_graph(cfg, directed, x.shape[0])
+        work, agg, gather, plan = _work_graph(cfg, directed, x.shape[0])
         embeddings, nodes, edges = GMRTEncoders(cfg)(x, work)
         nodes, supernodes, (bgraph, bweights), aux = HierarchicalGNNBlock(
             cfg, l1_norm_supernode_init=True, emb_output=False)(
                 embeddings, nodes, edges, work,
-                node_mask=node_mask, training=training, agg=agg)
+                node_mask=node_mask, training=training, agg=agg, gather=gather, plan=plan)
 
         bipartite_output_layer = nn.remat(MLP)(
             hidden_size=cfg.hidden, output_size=1,

@@ -219,6 +219,72 @@ def _sorted_agg_bwd(num_segments, block_r, block_e, c_max, interpret,
 _sorted_agg.defvjp(_sorted_agg_fwd, _sorted_agg_bwd)
 
 
+def _sorted_min_kernel(cb_ref, nch_ref, seg_ref, vals_ref, out_ref, *,
+                       block_r, int_max):
+    g = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.full_like(out_ref, int_max)
+
+    @pl.when(c < nch_ref[g])
+    def _():
+        seg = seg_ref[0, 0:1, :] - g * block_r      # (1, BLOCK_E)
+        vals = vals_ref[0, 0:1, :]                  # (1, BLOCK_E)
+        block_e = seg.shape[1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_r, block_e), 0)
+        onehot = jnp.broadcast_to(seg, (block_r, block_e)) == rows
+        masked = jnp.where(onehot, jnp.broadcast_to(vals, (block_r, block_e)),
+                           int_max)
+        chunk_min = jnp.min(masked, axis=1, keepdims=True)  # (block_r, 1)
+        out_ref[:] = jnp.minimum(out_ref[:], chunk_min)
+
+
+def sorted_segment_min_i32(values_sorted, plan: SortedPlan, interpret=False):
+    """Masked int32 segment-min of sorted-order per-edge values.
+
+    The VPU companion of :func:`sorted_aggregate` for min-reductions that
+    cannot ride the MXU one-hot matmul (connected-components label
+    propagation).  Scatter-min on TPU serializes per element (~ms per call
+    at TrackML sizes); this runs the same reduction as a lane-masked min
+    over the blocked-CSR chunks.  Pass ``INT32_MAX`` in masked-out slots.
+    Empty segments return INT32_MAX (caller combines with identity labels).
+    """
+    int_max = jnp.iinfo(jnp.int32).max
+    e_pad = values_sorted.shape[0]
+    block_r, block_e, c_max = plan.block_r, plan.block_e, plan.c_max
+    n_groups = -(-plan.num_segments // block_r)
+    n_rows = n_groups * block_r
+    n_blocks = e_pad // block_e
+
+    vals_rep = jnp.broadcast_to(
+        values_sorted.reshape(n_blocks, 1, block_e), (n_blocks, 8, block_e))
+
+    def block_idx(g, c, cb, nch):
+        return jnp.minimum(cb[g] + jnp.minimum(c, nch[g] - 1), n_blocks - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups, c_max),
+        in_specs=[
+            pl.BlockSpec((1, 8, block_e),
+                         lambda g, c, cb, nch: (block_idx(g, c, cb, nch), 0, 0)),
+            pl.BlockSpec((1, 8, block_e),
+                         lambda g, c, cb, nch: (block_idx(g, c, cb, nch), 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_r, 1), lambda g, c, cb, nch: (g, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_sorted_min_kernel, block_r=block_r,
+                          int_max=int_max),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, 1), jnp.int32),
+        interpret=interpret,
+    )(plan.chunk_base, plan.n_chunks, plan.seg_rep, vals_rep)
+    return out[:plan.num_segments, 0]
+
+
 def sorted_aggregate(data_sorted, plan: SortedPlan, interpret=False):
     """Masked segment sum of sorted-order edge ``data`` -> [num_segments, D].
 
@@ -239,3 +305,65 @@ def sorted_aggregate(data_sorted, plan: SortedPlan, interpret=False):
             plan.receivers_sorted, plan.edge_mask_sorted, plan.num_segments,
             plan.block_r, plan.block_e, plan.c_max, interpret),
         data_sorted)
+
+
+# ---------------------------------------------------------------------------
+# Endpoint gathers with kernel-backed backward.
+#
+# The backward of nodes[senders]/nodes[receivers] is a scatter-add into the
+# node array -- on TPU an XLA scatter costing ~2x the whole aggregation
+# kernel at TrackML sizes, paid twice per cell per iteration.  The receiver
+# side's cotangent arrives already receiver-sorted, so it aggregates through
+# the MXU kernel directly; the sender side stays on XLA scatter (its order
+# doesn't match the plan).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _gather_ee(nodes, senders_sorted, receivers_sorted, mask_sorted, seg_rep,
+               chunk_base, n_chunks, overflowed, num_segments, block_r,
+               block_e, c_max, interpret):
+    return nodes[senders_sorted], nodes[receivers_sorted]
+
+
+def _gather_ee_fwd(nodes, senders_sorted, receivers_sorted, mask_sorted,
+                   seg_rep, chunk_base, n_chunks, overflowed, num_segments,
+                   block_r, block_e, c_max, interpret):
+    out = _gather_ee(nodes, senders_sorted, receivers_sorted, mask_sorted,
+                     seg_rep, chunk_base, n_chunks, overflowed, num_segments,
+                     block_r, block_e, c_max, interpret)
+    return out, (senders_sorted, receivers_sorted, mask_sorted, seg_rep,
+                 chunk_base, n_chunks, overflowed)
+
+
+def _gather_ee_bwd(num_segments, block_r, block_e, c_max, interpret,
+                   residuals, cots):
+    from hierarchicalgnn_tpu.ops.segment import segment_sum
+
+    (senders_sorted, receivers_sorted, mask_sorted, seg_rep, chunk_base,
+     n_chunks, overflowed) = residuals
+    g_s, g_r = cots
+    d_r = jax.lax.cond(
+        overflowed,
+        lambda g: segment_sum(
+            jnp.where(mask_sorted[:, None], g, 0.0), receivers_sorted,
+            num_segments, indices_are_sorted=True),
+        lambda g: _pallas_sorted_aggregate(
+            jnp.where(mask_sorted[:, None], g, 0.0), seg_rep, chunk_base,
+            n_chunks, num_segments, block_r, block_e, c_max, interpret),
+        g_r)
+    d_s = segment_sum(jnp.where(mask_sorted[:, None], g_s, 0.0),
+                      senders_sorted, num_segments)
+    return (d_r + d_s, None, None, None, None, None, None, None)
+
+
+_gather_ee.defvjp(_gather_ee_fwd, _gather_ee_bwd)
+
+
+def gather_edge_endpoints(nodes, plan: SortedPlan, interpret=False):
+    """(nodes[senders], nodes[receivers]) in plan order, with the
+    receiver-side backward aggregation on the MXU kernel."""
+    return _gather_ee(nodes, plan.senders_sorted, plan.receivers_sorted,
+                      plan.edge_mask_sorted, plan.seg_rep, plan.chunk_base,
+                      plan.n_chunks, plan.overflowed, plan.num_segments,
+                      plan.block_r, plan.block_e, plan.c_max, interpret)

@@ -90,3 +90,45 @@ def test_gradient(rng):
     g_ref = jax.grad(f_ref)(ds)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sorted_segment_min(rng):
+    from hierarchicalgnn_tpu.ops.pallas.sorted_agg import sorted_segment_min_i32
+    from hierarchicalgnn_tpu.ops.segment import segment_min
+    s, r, mask, _ = problem(rng, 256, 900, 1024, 128)
+    vals = rng.integers(0, 10000, 1024).astype(np.int32)
+    plan = build_sorted_plan(s, r, mask, 256, block_r=128, block_e=128)
+    int_max = np.iinfo(np.int32).max
+    vs = np.asarray(plan.sort(jnp.asarray(vals)))
+    vs = np.where(np.asarray(plan.edge_mask_sorted), vs, int_max)
+    out = sorted_segment_min_i32(jnp.asarray(vs), plan, interpret=True)
+    expected = segment_min(jnp.asarray(vals), r, 256, mask=mask,
+                           empty_value=int_max)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expected))
+
+
+def test_connected_components_sorted_matches(rng):
+    from hierarchicalgnn_tpu.ops.connected import (
+        connected_components, connected_components_sorted,
+    )
+    n = 256
+    # bidirected random graph
+    e = 300
+    a = rng.integers(0, n, e).astype(np.int32)
+    b = rng.integers(0, n, e).astype(np.int32)
+    s = np.concatenate([a, b])
+    r = np.concatenate([b, a])
+    mask = np.ones(2 * e, bool)
+    # random keep mask applied symmetrically
+    keep_half = rng.random(e) < 0.5
+    keep = np.concatenate([keep_half, keep_half])
+    plan = build_sorted_plan(jnp.asarray(s), jnp.asarray(r),
+                             jnp.asarray(mask), n, block_r=128, block_e=128)
+    keep_sorted = np.asarray(plan.sort(jnp.asarray(keep)))
+    labels = np.asarray(connected_components_sorted(
+        plan, jnp.asarray(keep_sorted), n, interpret=True))
+    ref = np.asarray(connected_components(
+        jnp.asarray(s), jnp.asarray(r), jnp.asarray(mask & keep), n))
+    for i in range(n):
+        for j in range(i + 1, n):
+            assert (labels[i] == labels[j]) == (ref[i] == ref[j])
