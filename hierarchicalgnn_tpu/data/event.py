@@ -132,9 +132,18 @@ def preprocess_event(raw: dict, hparams: dict, rng: np.random.Generator | None =
     nhits_f, signal_f, primary_f = nhits[mask], signal_mask[mask], primary[mask]
 
     # --- pad to static capacities ---
+    # With ``size_buckets`` ([[n_nodes, n_edges], ...]) each event pads to
+    # the smallest fitting bucket instead of the global maximum -- one
+    # compiled program per bucket, far less padding waste on small events.
+    n_valid = len(pid_f)
+    e_valid = edge_index.shape[1]
     n_pad = hparams["n_nodes_max"]
     e_pad = hparams["n_edges_max"]
-    n_valid = len(pid_f)
+    for bucket in sorted(hparams.get("size_buckets") or [],
+                         key=lambda b: b[0]):
+        if n_valid <= bucket[0] and e_valid <= bucket[1]:
+            n_pad, e_pad = int(bucket[0]), int(bucket[1])
+            break
     if n_valid > n_pad:
         raise ValueError(f"event has {n_valid} nodes > n_nodes_max {n_pad}")
 

@@ -22,6 +22,7 @@ _TPU_DEFAULTS = {
     # static capacities (events are padded up to these)
     "n_nodes_max": 4096,
     "n_edges_max": 16384,
+    "size_buckets": None,   # [[n_nodes, n_edges], ...] smallest-fit padding
     "max_clusters": 1024,
     "max_particles": 512,
     # kernels / precision

@@ -112,3 +112,15 @@ class TestNativeLoader:
         got = [next(loader) for _ in range(10)]  # crosses epoch boundary
         assert len(got) == 10
         loader.close()
+
+
+def test_size_buckets(rng):
+    small = generate_event(rng, n_particles=10)
+    big = generate_event(rng, n_particles=60)
+    hp = dict(HP, size_buckets=[[256, 1024], [1024, 4096]])
+    ev_small = preprocess_event(small, hp)
+    ev_big = preprocess_event(big, hp)
+    assert ev_small.x.shape[0] == 256
+    assert ev_big.x.shape[0] == 1024
+    assert ev_small.graph.capacity == 1024
+    assert ev_big.graph.capacity == 4096
