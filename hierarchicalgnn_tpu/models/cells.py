@@ -22,21 +22,6 @@ from hierarchicalgnn_tpu.models.mlp import MLP
 from hierarchicalgnn_tpu.utils.config import ArchConfig
 
 
-def _edge_net(cfg: ArchConfig) -> MLP:
-    return MLP(hidden_size=cfg.hidden, output_size=cfg.latent,
-               hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
-               output_activation="Tanh",
-               hidden_activation=cfg.hidden_activation,
-            compute_dtype=cfg.compute_dtype)
-
-
-def _node_net(cfg: ArchConfig) -> MLP:
-    return MLP(hidden_size=cfg.hidden, output_size=cfg.latent,
-               hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
-               output_activation=cfg.hidden_activation,
-               hidden_activation=cfg.hidden_activation,
-            compute_dtype=cfg.compute_dtype)
-
 
 class InteractionGNNCell(nn.Module):
     """One flat interaction-network iteration (reference ``gnn_utils.py:45-71``):

@@ -19,8 +19,6 @@ from __future__ import annotations
 import argparse
 import json
 
-import jax
-import numpy as np
 
 
 def _load_events(hparams, args):
@@ -91,8 +89,6 @@ def cmd_test(args):
 def cmd_transfer(args):
     """Initialize a model from another run's checkpoint (strict=False),
     e.g. gMRT <- pretrained BC (reference ``script.py:53-173``)."""
-    import copy
-
     from hierarchicalgnn_tpu.train.checkpoint import load_hparams, transfer_params
     from hierarchicalgnn_tpu.models.registry import model_selector
     from hierarchicalgnn_tpu.train.trainer import Trainer as T
@@ -103,15 +99,12 @@ def cmd_transfer(args):
     state = trainer.init_state(trainset[0][1])
 
     # restore with the SOURCE run's own model structure
-    src_args = copy.copy(args)
     src_saved = load_hparams(args.source_run)
     src_hp, src_model, src_pipe = model_selector(src_saved["model"],
                                                  _overrides(args))
     source = T(src_hp, src_model, src_pipe, run_dir=args.source_run,
                log_every_n_steps=0)
-    src_batch = jax.tree_util.tree_map(
-        lambda x: x, trainset[0][1])
-    src_state, _ = source.restore(args.checkpoint, src_batch)
+    src_state, _ = source.restore(args.checkpoint, trainset[0][1])
 
     merged = transfer_params(state.params, src_state.params,
                              skip_prefixes=tuple(args.skip or []))

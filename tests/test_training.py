@@ -180,3 +180,21 @@ def test_inference_engine_roundtrip(tmp_path):
     assert set(metrics) == {"track_eff", "track_pur", "hit_eff", "hit_pur"}
     # hit indices refer to the raw event
     assert bipartite[0].max() < len(events[0]["pid"])
+
+
+@pytest.mark.parametrize("name,truth", [
+    ("EC-IN", "modulewise_true_edges"),
+    ("EC-IN", "pid_true_edges"),
+    ("Embedding-IN", "modulewise_true_edges"),
+    ("Embedding-IN", "pid_true_edges"),
+])
+def test_truth_definitions(name, truth, tmp_path):
+    """Both truth switches of the reference (edge_classifier_base.py:116-123,
+    embedding_base.py:116-133) produce finite losses and updates."""
+    trainer, events = make_trainer(name, tmp_path, true_edges=truth)
+    trainset, _, _ = trainer.make_datasets(events)
+    state = trainer.init_state(trainset[0][1])
+    trainer._build_steps()
+    _, batch = trainset[0]
+    state, metrics = trainer._train_step(state, batch, 0)
+    assert np.isfinite(float(metrics["training_loss"]))
