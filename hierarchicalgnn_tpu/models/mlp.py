@@ -12,6 +12,7 @@ MLP's first layer, N(0, sqrt(2)/sqrt(fan_in)) for the rest.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -43,7 +44,7 @@ def _fanin_normal(scale: float):
     return init
 
 first_layer_init = _fanin_normal(1.0)
-hidden_layer_init = _fanin_normal(jnp.sqrt(2.0).item())
+hidden_layer_init = _fanin_normal(math.sqrt(2.0))
 
 
 class MLP(nn.Module):

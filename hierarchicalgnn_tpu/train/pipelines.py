@@ -54,8 +54,13 @@ class ECPipeline:
         self.hparams = hparams
 
     def loss(self, params, buffers, batch: Event, epoch, training=True):
+        scores, new_buffers = _apply(self.model, params, buffers, batch,
+                                     training)
+        loss, metrics = self.loss_from_outputs(scores, batch, epoch)
+        return loss, (new_buffers, metrics)
+
+    def loss_from_outputs(self, scores, batch: Event, epoch):
         hp = self.hparams
-        scores, new_buffers = _apply(self.model, params, buffers, batch, training)
         emask = batch.graph.edge_mask
         if hp["true_edges"] == "modulewise_true_edges":
             keep = emask & (jnp.logical_not(batch.y_pid) | batch.y)
@@ -67,7 +72,7 @@ class ECPipeline:
             batch.pt, batch.graph.senders, batch.graph.receivers,
             y, keep, hp)
         loss = losses.weighted_bce(scores, y, weights)
-        return loss, (new_buffers, {"training_loss": loss})
+        return loss, {"training_loss": loss}
 
 
 class EmbeddingPipeline:
@@ -125,8 +130,13 @@ class EmbeddingPipeline:
         return losses.squared_hinge_loss(dist, y, weights, hp["train_r"])
 
     def loss(self, params, buffers, batch: Event, epoch, training=True):
+        out, new_buffers = _apply(self.model, params, buffers, batch,
+                                  training)
+        loss, metrics = self.loss_from_outputs(out, batch, epoch)
+        return loss, (new_buffers, metrics)
+
+    def loss_from_outputs(self, out, batch: Event, epoch):
         hp = self.hparams
-        out, new_buffers = _apply(self.model, params, buffers, batch, training)
         metrics: dict[str, Any] = {}
         if self.hierarchical:
             embeddings, intermediate, aux = out
@@ -150,7 +160,7 @@ class EmbeddingPipeline:
             s, r, y, mask = self._training_samples(embeddings, batch)
             loss = self._hinge(embeddings, s, r, y, mask, batch)
         metrics["training_loss"] = loss
-        return loss, (new_buffers, metrics)
+        return loss, metrics
 
 
 class BipartitePipeline:
@@ -164,8 +174,13 @@ class BipartitePipeline:
         self.hparams = hparams
 
     def loss(self, params, buffers, batch: Event, epoch, training=True):
+        out, new_buffers = _apply(self.model, params, buffers, batch,
+                                  training)
+        loss, metrics = self.loss_from_outputs(out, batch, epoch)
+        return loss, (new_buffers, metrics)
+
+    def loss_from_outputs(self, out, batch: Event, epoch):
         hp = self.hparams
-        out, new_buffers = _apply(self.model, params, buffers, batch, training)
         bgraph, scores, intermediate, aux = out
 
         # embedding hinge loss on input edges, PID truth (reference :198-204)
@@ -186,7 +201,7 @@ class BipartitePipeline:
                    "assignment_loss": asgmt_loss,
                    "score_cut": aux["score_cut"],
                    "clusters": aux["n_clusters"]}
-        return loss, (new_buffers, metrics)
+        return loss, metrics
 
     def _bipartite_loss(self, scores, bgraph: Graph, batch: Event, aux):
         """Assignment BCE against matching truth (reference :152-191)."""

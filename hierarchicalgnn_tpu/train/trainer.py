@@ -158,14 +158,23 @@ class Trainer:
 
         self._val_loss = jax.jit(val_loss)
 
+        def val_forward_and_loss(state: TrainState, batch: Event, epoch):
+            out = val_forward(state, batch)
+            loss, metrics = pipeline.loss_from_outputs(out, batch, epoch)
+            return out, loss, metrics
+
+        self._val_forward_and_loss = jax.jit(val_forward_and_loss)
+
     # ------------------------------------------------------------------
     # evaluation
     # ------------------------------------------------------------------
-    def evaluate_event(self, state: TrainState, raw: dict, batch: Event):
+    def evaluate_event(self, state: TrainState, raw: dict, batch: Event,
+                       out=None):
         """Track metrics against the unmodified raw event (reference
         ``shared_evaluation``)."""
         hp = self.hparams
-        out = self._val_forward(state, batch)
+        if out is None:
+            out = self._val_forward(state, batch)
         name = hp["model"]
         if name == "EC-IN":
             bipartite = cand.ec_candidates(out, batch, hp)
@@ -188,10 +197,11 @@ class Trainer:
             return dict(DEFAULT_RESPONSE)
 
     def validate(self, state: TrainState, valset, epoch: int):
+        """One forward per event: loss and track candidates share outputs."""
         agg: dict[str, list] = {}
         for raw, batch in valset:
-            loss, metrics = self._val_loss(state, batch, epoch)
-            tracking = self.evaluate_event(state, raw, batch)
+            out, loss, _ = self._val_forward_and_loss(state, batch, epoch)
+            tracking = self.evaluate_event(state, raw, batch, out=out)
             rec = {"val_loss": float(loss), **tracking}
             for k, v in rec.items():
                 agg.setdefault(k, []).append(float(v))
