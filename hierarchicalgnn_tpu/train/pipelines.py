@@ -120,6 +120,11 @@ class EmbeddingPipeline:
             pid_s, pid_r = batch.pid[s], batch.pid[r]
             y = (pid_s == pid_r) & (pid_s != 0) & (pid_r != 0) & mask
             sig = batch.signal_mask[s] & batch.signal_mask[r]
+            # NOTE deliberate divergence: the reference's
+            # ``mask = signal.all(0) | y == 0`` (embedding_base.py:131)
+            # parses as ``(signal | y) == 0`` by operator precedence,
+            # keeping only non-signal fake pairs.  We implement the evident
+            # intent: keep fakes plus signal-masked true pairs.
             mask = mask & (sig | jnp.logical_not(y))
         return s, r, y & mask, mask
 

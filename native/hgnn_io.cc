@@ -18,7 +18,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
-#include <deque>
+#include <map>
 #include <mutex>
 #include <random>
 #include <string>
@@ -106,23 +106,26 @@ fail:
 }
 
 struct Loader {
+  // Emission is strictly deterministic: event k of the (per-epoch
+  // shuffled) order is the k-th item the consumer sees, regardless of
+  // which worker finished first -- a bounded reorder window keeps memory
+  // in check while threads read ahead.
   std::vector<std::string> paths;
   size_t queue_capacity;
   int shuffle_seed;  // -1: no shuffle
   bool loop;         // reshuffle + continue after each epoch
 
-  std::deque<Event*> queue;
+  std::map<uint64_t, Event*> pending;  // global sequence -> event
   std::mutex mu;
   std::condition_variable not_empty, not_full;
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
 
-  // work distribution
+  // work distribution (global sequence numbers span epochs)
   std::vector<size_t> order;
-  size_t next_index = 0;
+  uint64_t next_claim = 0;  // next sequence a worker takes
+  uint64_t next_emit = 0;   // next sequence the consumer gets
   size_t epoch = 0;
-  size_t produced_this_epoch = 0;
-  bool epoch_done = false;  // emitted epoch sentinel
 
   void reshuffle() {
     order.resize(paths.size());
@@ -131,36 +134,42 @@ struct Loader {
       std::mt19937_64 rng(static_cast<uint64_t>(shuffle_seed) + epoch);
       std::shuffle(order.begin(), order.end(), rng);
     }
-    next_index = 0;
-    produced_this_epoch = 0;
   }
 
   void worker() {
     while (!stop.load()) {
-      size_t idx;
+      uint64_t seq;
+      std::string path;
       {
         std::unique_lock<std::mutex> lk(mu);
-        if (next_index >= order.size()) {
-          // wait for epoch rollover (driven by consumer) or stop
-          not_full.wait_for(lk, std::chrono::milliseconds(50));
+        // read-ahead window clamped to one epoch so at most two epochs'
+        // orders are ever live
+        size_t window = std::min(queue_capacity, paths.size());
+        not_full.wait_for(lk, std::chrono::milliseconds(50), [&] {
+          return stop.load() ||
+                 (next_claim < next_emit + window &&
+                  (loop || next_claim < paths.size()));
+        });
+        if (stop.load()) return;
+        size_t window2 = std::min(queue_capacity, paths.size());
+        if (next_claim >= next_emit + window2 ||
+            (!loop && next_claim >= paths.size())) {
           continue;
         }
-        idx = order[next_index++];
+        seq = next_claim++;
+        size_t seq_epoch = seq / paths.size();
+        if (seq_epoch != epoch) {
+          epoch = seq_epoch;
+          reshuffle();
+        }
+        path = paths[order[seq % paths.size()]];  // capture under lock
       }
-      Event* ev = read_event_file(paths[idx].c_str());
+      Event* ev = read_event_file(path.c_str());
       if (!ev) ev = new Event();  // empty event marks a read failure
       {
         std::unique_lock<std::mutex> lk(mu);
-        not_full.wait(lk, [&] {
-          return stop.load() || queue.size() < queue_capacity;
-        });
-        if (stop.load()) {
-          delete ev;
-          return;
-        }
-        queue.push_back(ev);
-        produced_this_epoch++;
-        not_empty.notify_one();
+        pending[seq] = ev;
+        not_empty.notify_all();
       }
     }
   }
@@ -168,19 +177,14 @@ struct Loader {
   Event* next() {
     std::unique_lock<std::mutex> lk(mu);
     while (true) {
-      if (!queue.empty()) {
-        Event* ev = queue.front();
-        queue.pop_front();
+      if (!loop && next_emit >= paths.size()) return nullptr;
+      auto it = pending.find(next_emit);
+      if (it != pending.end()) {
+        Event* ev = it->second;
+        pending.erase(it);
+        next_emit++;
         not_full.notify_all();
         return ev;
-      }
-      // epoch exhausted and queue drained?
-      if (next_index >= order.size() &&
-          produced_this_epoch >= order.size()) {
-        if (!loop) return nullptr;
-        epoch++;
-        reshuffle();
-        not_full.notify_all();
       }
       not_empty.wait_for(lk, std::chrono::milliseconds(50));
       if (stop.load()) return nullptr;
