@@ -55,16 +55,19 @@ def sorted_graph_mode(graph: Graph, num_segments: int):
     ops/pallas/sorted_agg.py.
     """
     from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
-        build_sorted_plan, gather_edge_endpoints, sorted_aggregate,
+        build_sorted_plan, build_transposed_plan, gather_edge_endpoints,
+        sorted_aggregate,
     )
 
     plan = build_sorted_plan(graph.senders, graph.receivers, graph.edge_mask,
                              num_segments)
+    plan_t, r2s = build_transposed_plan(plan, graph.senders, graph.receivers,
+                                        graph.edge_mask, num_segments)
     work_graph = Graph(plan.senders_sorted, plan.receivers_sorted,
                        plan.edge_mask_sorted)
     interpret = jax.default_backend() != "tpu"
     agg = lambda d: sorted_aggregate(d, plan, interpret)
-    gather = lambda x: gather_edge_endpoints(x, plan, interpret)
+    gather = lambda x: gather_edge_endpoints(x, plan, plan_t, r2s, interpret)
     return work_graph, agg, gather, plan
 
 
@@ -251,11 +254,15 @@ class HierarchicalGNNBlock(nn.Module):
         gathers = None
         if cfg.use_pallas:
             from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
-                build_sorted_plan, gather_edge_endpoints, sorted_aggregate,
+                build_sorted_plan, build_transposed_plan,
+                gather_edge_endpoints, sorted_aggregate,
             )
             interp = jax.default_backend() != "tpu"
             s_plan = build_sorted_plan(
                 super_graph.senders, super_graph.receivers,
+                super_graph.edge_mask, cfg.max_clusters)
+            s_plan_t, s_r2s = build_transposed_plan(
+                s_plan, super_graph.senders, super_graph.receivers,
                 super_graph.edge_mask, cfg.max_clusters)
             super_graph = Graph(s_plan.senders_sorted, s_plan.receivers_sorted,
                                 s_plan.edge_mask_sorted)
@@ -286,7 +293,8 @@ class HierarchicalGNNBlock(nn.Module):
                 "graph": (gather if gather is not None
                           else (lambda x: (x[graph.senders],
                                            x[graph.receivers]))),
-                "super": lambda x: gather_edge_endpoints(x, s_plan, interp),
+                "super": lambda x: gather_edge_endpoints(
+                    x, s_plan, s_plan_t, s_r2s, interp),
             }
         else:
             aggs = {

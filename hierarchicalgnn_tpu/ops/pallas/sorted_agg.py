@@ -319,51 +319,77 @@ def sorted_aggregate(data_sorted, plan: SortedPlan, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
-def _gather_ee(nodes, senders_sorted, receivers_sorted, mask_sorted, seg_rep,
-               chunk_base, n_chunks, overflowed, num_segments, block_r,
-               block_e, c_max, interpret):
-    return nodes[senders_sorted], nodes[receivers_sorted]
-
-
-def _gather_ee_fwd(nodes, senders_sorted, receivers_sorted, mask_sorted,
-                   seg_rep, chunk_base, n_chunks, overflowed, num_segments,
-                   block_r, block_e, c_max, interpret):
-    out = _gather_ee(nodes, senders_sorted, receivers_sorted, mask_sorted,
-                     seg_rep, chunk_base, n_chunks, overflowed, num_segments,
-                     block_r, block_e, c_max, interpret)
-    return out, (senders_sorted, receivers_sorted, mask_sorted, seg_rep,
-                 chunk_base, n_chunks, overflowed)
-
-
-def _gather_ee_bwd(num_segments, block_r, block_e, c_max, interpret,
-                   residuals, cots):
+def _plan_aggregate(g, plan: SortedPlan, interpret):
+    """Masked kernel aggregation with overflow fallback (no autodiff)."""
     from hierarchicalgnn_tpu.ops.segment import segment_sum
 
-    (senders_sorted, receivers_sorted, mask_sorted, seg_rep, chunk_base,
-     n_chunks, overflowed) = residuals
+    g = jnp.where(plan.edge_mask_sorted[:, None], g, 0.0)
+    return jax.lax.cond(
+        plan.overflowed,
+        lambda x: segment_sum(x, plan.receivers_sorted, plan.num_segments,
+                              indices_are_sorted=True),
+        lambda x: _pallas_sorted_aggregate(
+            x, plan.seg_rep, plan.chunk_base, plan.n_chunks,
+            plan.num_segments, plan.block_r, plan.block_e, plan.c_max,
+            interpret),
+        g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _gather_ee(nodes, plan, plan_t, r2s, interpret):
+    return nodes[plan.senders_sorted], nodes[plan.receivers_sorted]
+
+
+def _gather_ee_fwd(nodes, plan, plan_t, r2s, interpret):
+    return _gather_ee(nodes, plan, plan_t, r2s, interpret), (plan, plan_t,
+                                                             r2s)
+
+
+def _gather_ee_bwd(interpret, residuals, cots):
+    from hierarchicalgnn_tpu.ops.segment import segment_sum
+
+    plan, plan_t, r2s = residuals
     g_s, g_r = cots
-    d_r = jax.lax.cond(
-        overflowed,
-        lambda g: segment_sum(
-            jnp.where(mask_sorted[:, None], g, 0.0), receivers_sorted,
-            num_segments, indices_are_sorted=True),
-        lambda g: _pallas_sorted_aggregate(
-            jnp.where(mask_sorted[:, None], g, 0.0), seg_rep, chunk_base,
-            n_chunks, num_segments, block_r, block_e, c_max, interpret),
-        g_r)
-    d_s = segment_sum(jnp.where(mask_sorted[:, None], g_s, 0.0),
-                      senders_sorted, num_segments)
-    return (d_r + d_s, None, None, None, None, None, None, None)
+    d_r = _plan_aggregate(g_r, plan, interpret)
+    if plan_t is not None:
+        # reorder the sender cotangent into the sender-sorted (transposed)
+        # plan's slot order, then aggregate on the kernel as well
+        g_s_t = jnp.where(plan_t.edge_mask_sorted[:, None], g_s[r2s], 0.0)
+        d_s = _plan_aggregate(g_s_t, plan_t, interpret)
+    else:
+        d_s = segment_sum(
+            jnp.where(plan.edge_mask_sorted[:, None], g_s, 0.0),
+            plan.senders_sorted, plan.num_segments)
+    return (d_r + d_s, None, None, None)
 
 
 _gather_ee.defvjp(_gather_ee_fwd, _gather_ee_bwd)
 
 
-def gather_edge_endpoints(nodes, plan: SortedPlan, interpret=False):
-    """(nodes[senders], nodes[receivers]) in plan order, with the
-    receiver-side backward aggregation on the MXU kernel."""
-    return _gather_ee(nodes, plan.senders_sorted, plan.receivers_sorted,
-                      plan.edge_mask_sorted, plan.seg_rep, plan.chunk_base,
-                      plan.n_chunks, plan.overflowed, plan.num_segments,
-                      plan.block_r, plan.block_e, plan.c_max, interpret)
+def build_transposed_plan(plan: SortedPlan, senders, receivers, edge_mask,
+                          num_segments):
+    """Sender-sorted companion plan + cross-permutation for
+    :func:`gather_edge_endpoints`'s sender-side backward.
+
+    ``r2s[k]`` is the receiver-plan slot holding the same original edge as
+    transposed-plan slot ``k``.
+    """
+    plan_t = build_sorted_plan(receivers, senders, edge_mask, num_segments,
+                               block_r=plan.block_r, block_e=plan.block_e)
+    e_orig = senders.shape[0]
+    r2s = jnp.where(
+        plan_t.edge_mask_sorted,
+        plan.inv_perm[jnp.minimum(plan_t.perm, e_orig - 1)], 0)
+    return plan_t, r2s.astype(jnp.int32)
+
+
+def gather_edge_endpoints(nodes, plan: SortedPlan, plan_t=None, r2s=None,
+                          interpret=False):
+    """(nodes[senders], nodes[receivers]) in plan order.
+
+    The backward scatter-adds ride the MXU kernel: the receiver-side
+    cotangent directly (already plan-sorted), and -- when the transposed
+    plan is supplied -- the sender side through a cross-permutation into
+    sender-sorted order.
+    """
+    return _gather_ee(nodes, plan, plan_t, r2s, interpret)

@@ -132,3 +132,37 @@ def test_connected_components_sorted_matches(rng):
     for i in range(n):
         for j in range(i + 1, n):
             assert (labels[i] == labels[j]) == (ref[i] == ref[j])
+
+
+def test_gather_endpoints_backward(rng):
+    """gather_edge_endpoints custom VJP == plain-gather autodiff, with and
+    without the transposed plan."""
+    from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
+        build_transposed_plan, gather_edge_endpoints,
+    )
+    n, e_pad = 256, 1024
+    s, r, mask, _ = problem(rng, n, 900, e_pad, 128)
+    nodes = jnp.asarray(rng.normal(size=(n, 128)).astype(np.float32))
+    plan = build_sorted_plan(s, r, mask, n, block_r=128, block_e=128)
+    plan_t, r2s = build_transposed_plan(plan, s, r, mask, n)
+    w = jnp.asarray(rng.normal(size=(plan.senders_sorted.shape[0],
+                                     128)).astype(np.float32))
+    m = plan.edge_mask_sorted[:, None]
+
+    def f_ref(x):
+        a, b = x[plan.senders_sorted], x[plan.receivers_sorted]
+        return jnp.sum(jnp.where(m, a * w + b, 0.0) ** 2)
+
+    def f_kernel(x):
+        a, b = gather_edge_endpoints(x, plan, plan_t, r2s, interpret=True)
+        return jnp.sum(jnp.where(m, a * w + b, 0.0) ** 2)
+
+    def f_kernel_single(x):
+        a, b = gather_edge_endpoints(x, plan, interpret=True)
+        return jnp.sum(jnp.where(m, a * w + b, 0.0) ** 2)
+
+    g_ref = jax.grad(f_ref)(nodes)
+    np.testing.assert_allclose(np.asarray(jax.grad(f_kernel)(nodes)),
+                               np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jax.grad(f_kernel_single)(nodes)),
+                               np.asarray(g_ref), rtol=1e-4, atol=1e-4)
