@@ -264,3 +264,59 @@ class TestSDDMM:
         cos = (emb[s] * emb[r]).sum(-1)
         np.testing.assert_allclose(out, np.arctanh(np.clip(cos, -1 + 1e-7, 1 - 1e-7)),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestTrackingMetrics:
+    """Deterministic scenarios for the eval_metrics semantics
+    (reference Modules/tracking_utils.py:18-83)."""
+
+    def _event(self):
+        # 3 particles x 6 hits + 2 noise hits (pid 0)
+        pid = np.repeat([1, 2, 3], 6)
+        pid = np.concatenate([pid, [0, 0]])
+        pt = np.where(pid > 0, 2.0, 0.0).astype(np.float32)
+        return pid, pt
+
+    def test_perfect_reconstruction(self):
+        from hierarchicalgnn_tpu.evaluation.tracking import eval_metrics
+        pid, pt = self._event()
+        hits = np.arange(18)
+        tracks = np.repeat([0, 1, 2], 6)
+        m = eval_metrics(np.stack([hits, tracks]), pid, pt,
+                         pt_cut=1.0, nhits_cut=5)
+        assert m["track_eff"] == 1.0
+        assert m["track_pur"] == 1.0
+        assert m["hit_eff"] == 1.0
+        assert m["hit_pur"] == 1.0
+
+    def test_partial_and_noise(self):
+        from hierarchicalgnn_tpu.evaluation.tracking import eval_metrics
+        pid, pt = self._event()
+        # candidate 0: 5 of particle 1's hits + 1 noise hit
+        hits = np.concatenate([np.arange(5), [18]])
+        tracks = np.zeros(6, np.int64)
+        m = eval_metrics(np.stack([hits, tracks]), pid, pt,
+                         pt_cut=1.0, nhits_cut=5)
+        # particle 1 matched (5/6 hits, majority of candidate), 2 and 3 not
+        np.testing.assert_allclose(m["track_eff"], 1 / 3)
+        np.testing.assert_allclose(m["hit_pur"], 5 / 6)
+        np.testing.assert_allclose(m["hit_eff"], 5 / 6)
+
+    def test_split_track_one_to_one(self):
+        from hierarchicalgnn_tpu.evaluation.tracking import eval_metrics
+        pid, pt = self._event()
+        # particle 1 split into two 3-hit candidates: neither passes the
+        # majority-of-nhits cut (3 < 0.5*6 is false... 3 >= 3 passes), the
+        # cluster-hash tiebreak must match at most one
+        hits = np.arange(6)
+        tracks = np.array([0, 0, 0, 1, 1, 1])
+        m = eval_metrics(np.stack([hits, tracks]), pid, pt,
+                         pt_cut=1.0, nhits_cut=5)
+        assert m["track_eff"] <= 1 / 3
+
+    def test_empty_graph(self):
+        from hierarchicalgnn_tpu.evaluation.tracking import eval_metrics
+        pid, pt = self._event()
+        m = eval_metrics(np.zeros((2, 0), np.int64), pid, pt)
+        assert m == {"track_eff": 0.0, "track_pur": 0.0,
+                     "hit_eff": 0.0, "hit_pur": 0.0}
