@@ -124,3 +124,41 @@ def test_size_buckets(rng):
     assert ev_big.x.shape[0] == 1024
     assert ev_small.graph.capacity == 1024
     assert ev_big.graph.capacity == 4096
+
+
+def test_torch_pt_reader(rng, tmp_path):
+    """Reading reference-style torch-saved events (dict of tensors)."""
+    import torch
+    from hierarchicalgnn_tpu.data.reader import load_event_file
+
+    ev = generate_event(rng, n_particles=8)
+    as_tensors = {k: torch.from_numpy(np.asarray(v)) for k, v in ev.items()}
+    path = str(tmp_path / "event.pt")
+    torch.save(as_tensors, path)
+
+    loaded = load_event_file(path)
+    np.testing.assert_allclose(loaded["x"], ev["x"])
+    np.testing.assert_array_equal(loaded["edge_index"], ev["edge_index"])
+    np.testing.assert_array_equal(loaded["pid"], ev["pid"])
+
+
+def test_npz_reader_roundtrip(rng, tmp_path):
+    from hierarchicalgnn_tpu.data.reader import load_event_file, save_event_npz
+
+    ev = generate_event(rng, n_particles=8)
+    path = str(tmp_path / "event.npz")
+    save_event_npz(path, ev)
+    loaded = load_event_file(path)
+    np.testing.assert_allclose(loaded["x"], ev["x"])
+    np.testing.assert_array_equal(loaded["y"], ev["y"])
+
+
+def test_load_dataset_paths_deterministic(tmp_path):
+    from hierarchicalgnn_tpu.data.reader import load_dataset_paths
+    for sub in ("train", "val"):
+        (tmp_path / sub).mkdir()
+        for i in range(4):
+            (tmp_path / sub / f"e{i}.npz").touch()
+    a = load_dataset_paths(str(tmp_path), ["train", "val"])
+    b = load_dataset_paths(str(tmp_path), ["train", "val"])
+    assert a == b and len(a) == 8
