@@ -139,3 +139,50 @@ def test_halo_partitioned_flat_in_matches_unsharded(rng):
                     jnp.asarray(m_p.reshape(-1)))
     np.testing.assert_allclose(np.asarray(nodes_out), np.asarray(oracle),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_halo_gradients_match_unsharded(rng):
+    """Param gradients through the shard_map halo forward == unsharded."""
+    from hierarchicalgnn_tpu.models.mlp import MLP
+    from hierarchicalgnn_tpu.parallel import halo
+
+    n_parts, n_nodes, latent = 4, 64, 16
+    n_edges = 150
+    x = rng.normal(size=(n_nodes, 3)).astype(np.float32)
+    senders = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    receivers = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    mask = np.ones(n_edges, bool)
+
+    mlps = tuple(MLP(hidden_size=32, output_size=latent, hidden_layers=2,
+                     layer_norm=True) for _ in range(4))
+    key = jax.random.key(0)
+    params = {
+        "node_enc": mlps[0].init(key, jnp.zeros((1, 3)))["params"],
+        "edge_enc": mlps[1].init(key, jnp.zeros((1, 6)))["params"],
+        "node_net": mlps[2].init(key, jnp.zeros((1, 2 * latent)))["params"],
+        "edge_net": mlps[3].init(key, jnp.zeros((1, 3 * latent)))["params"],
+    }
+
+    s_p, r_p, m_p = halo.partition_edges_by_receiver(
+        senders, receivers, mask, n_nodes, n_parts)
+    mesh1 = jax.sharding.Mesh(
+        np.asarray(jax.devices()[:n_parts]), ("graph",))
+    fwd = halo.make_halo_flat_forward(
+        halo.make_halo_flat_in(mlps, iterations=2), mesh1)
+
+    def loss_halo(p):
+        out = fwd(p, jnp.asarray(x), jnp.asarray(s_p.reshape(-1)),
+                  jnp.asarray(r_p.reshape(-1)), jnp.asarray(m_p.reshape(-1)))
+        return jnp.sum(out ** 2)
+
+    def loss_ref(p):
+        out = halo.flat_in_reference_step(
+            p, mlps, jnp.asarray(x), jnp.asarray(senders),
+            jnp.asarray(receivers), jnp.asarray(mask), n_nodes, iterations=2)
+        return jnp.sum(out ** 2)
+
+    g_halo = jax.grad(loss_halo)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree.leaves(g_halo), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
