@@ -4,7 +4,11 @@ from hierarchicalgnn_tpu.ops.graph import (  # noqa: F401
 )
 from hierarchicalgnn_tpu.ops.segment import (  # noqa: F401
     segment_sum, segment_mean, segment_min, segment_max, segment_count,
-    gather_segment_sum, segment_sum_hot, enable_pallas, pallas_enabled,
+    gather_segment_sum, make_aggregator,
+)
+from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (  # noqa: F401
+    SortedPlan, build_sorted_plan, build_transposed_plan,
+    gather_edge_endpoints, sorted_aggregate, sorted_segment_min_i32,
 )
 from hierarchicalgnn_tpu.ops.sddmm import (  # noqa: F401
     edge_dot, edge_distance, edge_squared_distance, edge_cosine_likelihood,

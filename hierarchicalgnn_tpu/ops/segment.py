@@ -8,8 +8,10 @@ edge array.  Two execution paths:
 
   * XLA path (this module): ``jax.ops.segment_*`` -- always correct, used as
     the parity oracle and the fallback for small problems.
-  * Pallas path (``ops.pallas.segment_kernel``): sorted-COO one-hot MXU
-    kernel for the training hot loop; dispatched via ``segment_sum_hot``.
+  * Pallas path (``ops.pallas.sorted_agg``): sorted-native blocked-CSR MXU
+    kernels for the training hot loop; model blocks build per-graph plans
+    via ``build_sorted_plan`` (``make_aggregator`` below offers the
+    gather-layout variant for ad hoc callers).
 
 Padded edges contribute the reduction identity (0 for sum/mean, +/-inf for
 min/max) and padded nodes receive the identity.
@@ -134,26 +136,3 @@ def make_aggregator(receivers, edge_mask, num_segments, use_pallas=False):
             data)
 
     return agg
-
-
-_PALLAS_ENABLED = False
-
-
-def enable_pallas(flag: bool = True):
-    global _PALLAS_ENABLED
-    _PALLAS_ENABLED = bool(flag)
-
-
-def pallas_enabled() -> bool:
-    return _PALLAS_ENABLED
-
-
-def segment_sum_hot(data, segment_ids, num_segments, mask=None,
-                    indices_are_sorted=False):
-    """segment_sum that dispatches to the Pallas kernel when enabled."""
-    if _PALLAS_ENABLED:
-        from hierarchicalgnn_tpu.ops.pallas.segment_kernel import (
-            sorted_segment_sum_auto,
-        )
-        return sorted_segment_sum_auto(data, segment_ids, num_segments, mask)
-    return segment_sum(data, segment_ids, num_segments, mask, indices_are_sorted)
