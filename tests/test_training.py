@@ -198,3 +198,18 @@ def test_truth_definitions(name, truth, tmp_path):
     _, batch = trainset[0]
     state, metrics = trainer._train_step(state, batch, 0)
     assert np.isfinite(float(metrics["training_loss"]))
+
+
+@pytest.mark.parametrize("name", ["EC-IN", "BC-HGNN-GMM"])
+def test_train_step_pallas_interpret(name, tmp_path):
+    """One training step with use_pallas=True (interpret mode on CPU):
+    the sorted-native kernels' forward AND backward paths under grad."""
+    trainer, events = make_trainer(name, tmp_path, use_pallas=True,
+                                   latent=128, hidden_ratio=1)
+    trainset, _, _ = trainer.make_datasets(events)
+    state = trainer.init_state(trainset[0][1])
+    trainer._build_steps()
+    _, batch = trainset[0]
+    state, metrics = trainer._train_step(state, batch, 0)
+    assert np.isfinite(float(metrics["training_loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
