@@ -20,6 +20,11 @@ import json
 import time
 
 import jax
+
+# reuse compiled programs across runs (axon remote compiles are slow)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 import jax.numpy as jnp
 import numpy as np
 
