@@ -315,6 +315,57 @@ class Trainer:
         return self._probes.measure(emb, bidirectionalize(batch.graph),
                                     batch.node_mask)
 
+    def fit_streaming(self, train_paths: Sequence[str], val_events,
+                      steps_per_epoch: int, max_epochs: int | None = None,
+                      state: TrainState | None = None,
+                      n_threads: int = 4, queue_capacity: int = 8,
+                      shuffle_seed: int = 0):
+        """Train from the native prefetching loader instead of preloaded
+        events -- the large-dataset path (the reference streams every event
+        from disk through 16 dataloader workers each epoch).
+
+        ``val_events``: list of raw event dicts for validation (small).
+        """
+        from hierarchicalgnn_tpu.data.native_loader import NativeEventLoader
+
+        hp = self.hparams
+        max_epochs = max_epochs or hp["max_epochs"]
+        rng = np.random.default_rng(12345)
+        valset = [(raw, jax.tree.map(jnp.asarray,
+                                     preprocess_event(raw, hp, rng=rng)))
+                  for raw in val_events]
+
+        loader = NativeEventLoader(list(train_paths), loop=True,
+                                   n_threads=n_threads,
+                                   queue_capacity=queue_capacity,
+                                   shuffle_seed=shuffle_seed)
+        try:
+            if state is None:
+                first = preprocess_event(next(loader), hp, rng=rng)
+                state = self.init_state(jax.tree.map(jnp.asarray, first))
+            self._build_steps()
+            best = -1.0
+            for epoch in range(max_epochs):
+                t0 = time.time()
+                for _ in range(steps_per_epoch):
+                    raw = next(loader)
+                    batch = jax.tree.map(
+                        jnp.asarray, preprocess_event(raw, hp, rng=rng))
+                    state, metrics = self._train_step(state, batch, epoch)
+                    self.logger.log(metrics, step=int(state.step),
+                                    epoch=epoch)
+                val_metrics = self.validate(state, valset, epoch)
+                val_metrics["epoch_time"] = time.time() - t0
+                self.logger.log(val_metrics, step=int(state.step),
+                                epoch=epoch, force_print=True)
+                self._save(state, "last", epoch)
+                if val_metrics.get("track_eff", 0.0) >= best:
+                    best = val_metrics.get("track_eff", 0.0)
+                    self._save(state, "best", epoch)
+        finally:
+            loader.close()
+        return state
+
     def test(self, state: TrainState, raw_events: Sequence[dict]):
         _, _, testset = self.make_datasets(raw_events)
         if self._val_forward is None:

@@ -213,3 +213,23 @@ def test_train_step_pallas_interpret(name, tmp_path):
     state, metrics = trainer._train_step(state, batch, 0)
     assert np.isfinite(float(metrics["training_loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_fit_streaming_native_loader(tmp_path):
+    """Streaming training from .hgnn files via the C++ prefetch loader."""
+    from hierarchicalgnn_tpu.data import native_loader as nl
+    if not nl.available():
+        pytest.skip("libhgnn_io.so not built")
+    hparams, model, pipeline = model_selector("EC-IN", TINY)
+    events = generate_dataset(6, seed=4, n_particles=20)
+    paths = []
+    for i, ev in enumerate(events[:4]):
+        p = str(tmp_path / f"ev{i}.hgnn")
+        nl.write_event(p, ev)
+        paths.append(p)
+    trainer = Trainer(hparams, model, pipeline,
+                      run_dir=str(tmp_path / "run"), log_every_n_steps=0)
+    state = trainer.fit_streaming(paths, val_events=events[4:],
+                                  steps_per_epoch=4, max_epochs=2)
+    assert int(state.step) == 8
+    assert (tmp_path / "run" / "checkpoints" / "last").exists()
