@@ -4,16 +4,23 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Primary metric (driver-defined north star, BASELINE.json): edges/s/chip for
-the message-aggregation segment-sum at BC-HGNN-GMM workload shape
-(latent 256, TrackML-scale edge counts).  ``vs_baseline`` is the speedup of
-the framework's dispatch path over plain XLA scatter-add on the same device
-(the torch_scatter-equivalent baseline; the reference repo publishes no
-numbers of its own -- see BASELINE.md).
+the *weighted* message-aggregation segment-sum at BC-HGNN-GMM workload shape
+(latent 256, TrackML-scale edge counts).  Weighted graph convolution
+``out[i] = sum_e w_e * data_e`` is the hierarchical cell's hot aggregation
+(reference ``Modules/gnn_utils.py:124,142-143``); the framework fuses the
+per-edge weight into the one-hot MXU matmul (ops/pallas/sorted_agg.py),
+while the baseline — XLA scatter-add over a materialized ``data * w`` edge
+tensor, the torch_scatter-equivalent formulation — pays a full extra HBM
+pass.  ``vs_baseline`` is the speedup over that baseline on the same device
+and dtype (f32; the reference repo publishes no numbers of its own — see
+BASELINE.md).
 
 Timing notes: under the axon TPU tunnel, ``block_until_ready`` returns
 early and a bare dispatch costs ~30 ms RPC; so each measurement loops the
 op inside a single jit (``fori_loop``), forces a scalar readback, and
-subtracts a 1-iteration calibration run.
+subtracts a 1-iteration calibration run.  The per-iteration weight vector
+depends on the loop index (a [E] scalar multiply, ~0.5% of the edge-data
+traffic) so XLA cannot hoist the aggregation out of the loop.
 """
 
 import json
@@ -59,7 +66,7 @@ def _timed_loop(op, *args, iters=ITERS):
 
 def bench_spmm(seed=0):
     from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
-        build_sorted_plan, sorted_aggregate,
+        build_sorted_plan, sorted_aggregate_weighted,
     )
     from hierarchicalgnn_tpu.ops.segment import segment_sum
 
@@ -69,22 +76,26 @@ def bench_spmm(seed=0):
     senders = jnp.asarray(rng.integers(0, N_NODES, N_EDGES).astype(np.int32))
     mask = jnp.ones((N_EDGES,), bool)
     data = jnp.asarray(rng.normal(size=(N_EDGES, DIM)), jnp.float32)
+    wbase = jnp.asarray(rng.normal(size=(N_EDGES,)), jnp.float32)
 
+    # baseline: XLA scatter-add of the materialized weighted edge tensor
     def xla_op(i, d):
-        out = segment_sum(d + i.astype(jnp.float32), receivers, N_NODES,
+        w = wbase * (1.0 + i.astype(jnp.float32) * 1e-6)
+        out = segment_sum(d * w[:, None], receivers, N_NODES,
                           indices_are_sorted=True)
         return out[0, 0]
 
     t_xla = _timed_loop(xla_op, data)
 
-    # framework path: sorted-native Pallas aggregation (zero-gather)
+    # framework path: weight fused into the sorted-native one-hot MXU matmul
     interpret = jax.default_backend() != "tpu"
     plan = build_sorted_plan(senders, receivers, mask, N_NODES)
     data_sorted = plan.sort(data)
+    w_sorted = plan.sort(wbase)
 
     def agg_op(i, d):
-        return sorted_aggregate(d + i.astype(jnp.float32), plan,
-                                interpret)[0, 0]
+        w = w_sorted * (1.0 + i.astype(jnp.float32) * 1e-6)
+        return sorted_aggregate_weighted(d, w, plan, interpret)[0, 0]
 
     t_agg = _timed_loop(agg_op, data_sorted)
 

@@ -28,7 +28,7 @@ from hierarchicalgnn_tpu.ops.sddmm import edge_cosine_likelihood
 from hierarchicalgnn_tpu.ops.segment import make_aggregator, segment_mean
 from hierarchicalgnn_tpu.models.cells import HierarchicalGNNCell, InteractionGNNCell
 from hierarchicalgnn_tpu.models.dynamic_graph import DynamicGraphConstruction
-from hierarchicalgnn_tpu.models.mlp import MLP, MatchDims
+from hierarchicalgnn_tpu.models.mlp import MLP, MatchDims, maybe_remat
 from hierarchicalgnn_tpu.utils.config import ArchConfig
 
 
@@ -88,13 +88,13 @@ class InteractionGNNBlock(nn.Module):
         shared sorted aggregator (built at the model level so the
         hierarchical block can reuse the same ordering)."""
         cfg = self.cfg
-        node_encoder = nn.remat(MLP)(
+        node_encoder = maybe_remat(MLP, cfg)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
             hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
             output_activation=cfg.hidden_activation,
             hidden_activation=cfg.hidden_activation,
             compute_dtype=cfg.compute_dtype)
-        edge_encoder = nn.remat(MLP)(
+        edge_encoder = maybe_remat(MLP, cfg)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
             hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
             output_activation=cfg.hidden_activation,
@@ -210,13 +210,13 @@ class HierarchicalGNNBlock(nn.Module):
         score_cut = self.variable(
             "buffers", "score_cut", lambda: jnp.full((1,), jnp.inf, jnp.float32))
 
-        supernode_encoder = nn.remat(MLP)(
+        supernode_encoder = maybe_remat(MLP, cfg)(
             hidden_size=cfg.hidden, output_size=cfg.latent - cfg.emb_dim,
             hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
             output_activation=cfg.hidden_activation,
             hidden_activation=cfg.hidden_activation,
             compute_dtype=cfg.compute_dtype)
-        superedge_encoder = nn.remat(MLP)(
+        superedge_encoder = maybe_remat(MLP, cfg)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
             hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
             output_activation=cfg.hidden_activation,
@@ -255,7 +255,7 @@ class HierarchicalGNNBlock(nn.Module):
         if cfg.use_pallas:
             from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
                 build_sorted_plan, build_transposed_plan,
-                gather_edge_endpoints, sorted_aggregate,
+                gather_edge_endpoints, sorted_aggregate_weighted,
             )
             interp = jax.default_backend() != "tpu"
             s_plan = build_sorted_plan(
@@ -278,16 +278,19 @@ class HierarchicalGNNBlock(nn.Module):
             bipartite_graph = Graph(b1.senders_sorted, b1.receivers_sorted,
                                     b1.edge_mask_sorted)
             bipartite_weights = w1
+            # Weighted aggregators: the per-edge weight rides inside the
+            # one-hot MXU matmul (no materialized data*w edge tensor).
             aggs = {
                 "edge_to_node": agg or make_aggregator(
                     graph.receivers, graph.edge_mask, n),
                 "bip_to_super": (
-                    lambda d: sorted_aggregate(d, b1, interp),
-                    b1.senders_sorted, w1),
+                    lambda d: sorted_aggregate_weighted(d, w1, b1, interp),
+                    b1.senders_sorted),
                 "bip_to_node": (
-                    lambda d: sorted_aggregate(d, b2, interp),
-                    b2.senders_sorted, w2),
-                "super_to_super": lambda d: sorted_aggregate(d, s_plan, interp),
+                    lambda d: sorted_aggregate_weighted(d, w2, b2, interp),
+                    b2.senders_sorted),
+                "super_to_super": lambda d: sorted_aggregate_weighted(
+                    d, super_weights, s_plan, interp),
             }
             gathers = {
                 "graph": (gather if gather is not None
@@ -297,25 +300,29 @@ class HierarchicalGNNBlock(nn.Module):
                     x, s_plan, s_plan_t, s_r2s, interp),
             }
         else:
+            def weighted(aggfn, w):
+                return lambda d: aggfn(d * w)
+
             aggs = {
                 "edge_to_node": agg or make_aggregator(
                     graph.receivers, graph.edge_mask, n),
-                "bip_to_super": (make_aggregator(
+                "bip_to_super": (weighted(make_aggregator(
                     bipartite_graph.receivers, bipartite_graph.edge_mask,
-                    cfg.max_clusters),
-                    bipartite_graph.senders, bipartite_weights),
-                "bip_to_node": (make_aggregator(
+                    cfg.max_clusters), bipartite_weights),
+                    bipartite_graph.senders),
+                "bip_to_node": (weighted(make_aggregator(
                     bipartite_graph.senders, bipartite_graph.edge_mask, n),
-                    bipartite_graph.receivers, bipartite_weights),
-                "super_to_super": make_aggregator(
+                    bipartite_weights),
+                    bipartite_graph.receivers),
+                "super_to_super": weighted(make_aggregator(
                     super_graph.receivers, super_graph.edge_mask,
-                    cfg.max_clusters),
+                    cfg.max_clusters), super_weights),
             }
 
         # --- supernode / superedge initialization ---
         init_nodes = l1_normalize(nodes) if self.l1_norm_supernode_init else nodes
-        agg_to_super, b_send, w_init = aggs["bip_to_super"]
-        agg_init = agg_to_super(init_nodes[b_send] * w_init)
+        agg_to_super, b_send = aggs["bip_to_super"]
+        agg_init = agg_to_super(init_nodes[b_send])
         supernodes = jnp.concatenate([means, supernode_encoder(agg_init)], -1)
         superedges = superedge_encoder(jnp.concatenate(
             [supernodes[super_graph.senders],
@@ -359,10 +366,10 @@ class GMRTEncoders(nn.Module):
     @nn.compact
     def __call__(self, x, graph: Graph):
         cfg = self.cfg
-        node_encoder = nn.remat(MatchDims)(
+        node_encoder = maybe_remat(MatchDims, cfg)(
             output_size=cfg.latent, layer_norm=cfg.layernorm,
             output_activation=cfg.hidden_activation)
-        edge_encoder = nn.remat(MatchDims)(
+        edge_encoder = maybe_remat(MatchDims, cfg)(
             output_size=cfg.latent, layer_norm=cfg.layernorm,
             output_activation=cfg.hidden_activation)
         output_layer = MatchDims(

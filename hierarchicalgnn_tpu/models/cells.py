@@ -2,10 +2,11 @@
 
 TPU re-designs of ``InteractionGNNCell`` and ``HierarchicalGNNCell``
 (reference ``Modules/gnn_utils.py:17-169``).  Aggregations are masked
-segment reductions (Pallas-dispatchable); each update is wrapped in
-``nn.remat`` mirroring the reference's pervasive gradient checkpointing
-(``Modules/gnn_utils.py:14-15``) so activation memory stays flat across
-the 6-14 iteration stacks.
+segment reductions (Pallas-dispatchable); each update is remat-wrapped
+when ``cfg.remat`` mirroring the reference's pervasive gradient
+checkpointing (``Modules/gnn_utils.py:14-15``) so activation memory stays
+flat across the 6-14 iteration stacks; ``remat: false`` trades HBM for a
+backward pass without MLP recompute.
 
 The hierarchical update order is semantic, not incidental: supernodes are
 computed from *old* nodes, then nodes from *new* supernodes
@@ -18,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from hierarchicalgnn_tpu.ops.segment import make_aggregator
-from hierarchicalgnn_tpu.models.mlp import MLP
+from hierarchicalgnn_tpu.models.mlp import MLP, maybe_remat
 from hierarchicalgnn_tpu.utils.config import ArchConfig
 
 
@@ -39,13 +40,13 @@ class InteractionGNNCell(nn.Module):
         forward; see ops.segment.make_aggregator).  ``gather``: endpoint
         gather ``nodes -> (nodes[s], nodes[r])`` with kernel-backed
         backward (sorted mode).  Both built ad hoc if None."""
-        node_network = nn.remat(MLP)(
+        node_network = maybe_remat(MLP, self.cfg)(
             hidden_size=self.cfg.hidden, output_size=self.cfg.latent,
             hidden_layers=self.cfg.nb_node_layer, layer_norm=self.cfg.layernorm,
             output_activation=self.cfg.hidden_activation,
             hidden_activation=self.cfg.hidden_activation,
             compute_dtype=self.cfg.compute_dtype)
-        edge_network = nn.remat(MLP)(
+        edge_network = maybe_remat(MLP, self.cfg)(
             hidden_size=self.cfg.hidden, output_size=self.cfg.latent,
             hidden_layers=self.cfg.nb_edge_layer, layer_norm=self.cfg.layernorm,
             output_activation="Tanh",
@@ -82,26 +83,30 @@ class HierarchicalGNNCell(nn.Module):
         """bipartite/super_graph: (Graph, weights[E,1]) tuples.
 
         ``aggs``: dict of prebuilt aggregators {edge_to_node, bip_to_super,
-        bip_to_node, super_to_super} shared across iterations."""
+        bip_to_node, super_to_super} shared across iterations.  The
+        bipartite and supergraph entries are *weighted* aggregators: the
+        per-edge convolution weight is applied inside (fused into the
+        one-hot MXU matmul in sorted-native mode, so the weighting costs no
+        extra HBM pass)."""
         cfg = self.cfg
-        node_network = nn.remat(MLP)(
+        node_network = maybe_remat(MLP, cfg)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
             hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
             output_activation=cfg.hidden_activation,
             hidden_activation=cfg.hidden_activation,
             compute_dtype=cfg.compute_dtype)
-        edge_network = nn.remat(MLP)(
+        edge_network = maybe_remat(MLP, cfg)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
             hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
             output_activation="Tanh", hidden_activation=cfg.hidden_activation,
             compute_dtype=cfg.compute_dtype)
-        supernode_network = nn.remat(MLP)(
+        supernode_network = maybe_remat(MLP, cfg)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
             hidden_layers=cfg.nb_node_layer, layer_norm=cfg.layernorm,
             output_activation=cfg.hidden_activation,
             hidden_activation=cfg.hidden_activation,
             compute_dtype=cfg.compute_dtype)
-        superedge_network = nn.remat(MLP)(
+        superedge_network = maybe_remat(MLP, cfg)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
             hidden_layers=cfg.nb_edge_layer, layer_norm=cfg.layernorm,
             output_activation="Tanh", hidden_activation=cfg.hidden_activation,
@@ -112,17 +117,20 @@ class HierarchicalGNNCell(nn.Module):
         n_nodes = nodes.shape[0]
         n_super = supernodes.shape[0]
         if aggs is None:
+            def weighted(aggfn, w):
+                return lambda d: aggfn(d * w)
+
             aggs = {
                 "edge_to_node": make_aggregator(
                     graph.receivers, graph.edge_mask, n_nodes),
-                "bip_to_super": (make_aggregator(
-                    bgraph.receivers, bgraph.edge_mask, n_super),
-                    bgraph.senders, bweights),
-                "bip_to_node": (make_aggregator(
-                    bgraph.senders, bgraph.edge_mask, n_nodes),
-                    bgraph.receivers, bweights),
-                "super_to_super": make_aggregator(
-                    sgraph.receivers, sgraph.edge_mask, n_super),
+                "bip_to_super": (weighted(make_aggregator(
+                    bgraph.receivers, bgraph.edge_mask, n_super), bweights),
+                    bgraph.senders),
+                "bip_to_node": (weighted(make_aggregator(
+                    bgraph.senders, bgraph.edge_mask, n_nodes), bweights),
+                    bgraph.receivers),
+                "super_to_super": weighted(make_aggregator(
+                    sgraph.receivers, sgraph.edge_mask, n_super), sweights),
             }
         # The bipartite aggregators carry their own edge-order arrays: in
         # sorted-native (Pallas) mode each direction uses its own
@@ -132,17 +140,17 @@ class HierarchicalGNNCell(nn.Module):
                 "graph": lambda x: (x[graph.senders], x[graph.receivers]),
                 "super": lambda x: (x[sgraph.senders], x[sgraph.receivers]),
             }
-        agg_to_super, b_send, w1 = aggs["bip_to_super"]
-        agg_to_node, b_cluster, w2 = aggs["bip_to_node"]
+        agg_to_super, b_send = aggs["bip_to_super"]
+        agg_to_node, b_cluster = aggs["bip_to_node"]
 
         # --- supernode update from OLD nodes (reference :138-145) ---
-        node_messages = agg_to_super(nodes[b_send] * w1)
-        attention_messages = aggs["super_to_super"](superedges * sweights)
+        node_messages = agg_to_super(nodes[b_send])
+        attention_messages = aggs["super_to_super"](superedges)
         new_supernodes = supernode_network(jnp.concatenate(
             [supernodes, attention_messages, node_messages], -1)) + supernodes
 
         # --- node update from NEW supernodes (reference :119-127) ---
-        supernode_messages = agg_to_node(new_supernodes[b_cluster] * w2)
+        supernode_messages = agg_to_node(new_supernodes[b_cluster])
         edge_messages = aggs["edge_to_node"](edges)
         new_nodes = node_network(jnp.concatenate(
             [nodes, edge_messages, supernode_messages], -1)) + nodes

@@ -37,6 +37,31 @@ def activation(name: str) -> Callable:
         raise ValueError(f"Unknown activation {name!r}") from None
 
 
+_PLAIN_CHECKPOINT_ALIASES: dict = {}
+
+
+def maybe_remat(cls, cfg):
+    """Remat-wrap a module class when ``cfg.remat``.
+
+    The reference checkpoints every MLP application unconditionally
+    (``Modules/gnn_utils.py:14-15``) because 100k-hit events exhaust GPU
+    memory.  On TPU the padded events fit HBM comfortably at TrackML-1GeV
+    scale, so ``remat: false`` skips the backward-pass recompute of every
+    MLP forward (roughly a 3x->2x forward-equivalents backward).
+
+    The non-remat branch is aliased to the remat auto-name
+    (``Checkpoint<cls>``) so the flax param tree — and therefore every
+    saved checkpoint — is identical under either setting.
+    """
+    if cfg.remat:
+        return nn.remat(cls)
+    alias = _PLAIN_CHECKPOINT_ALIASES.get(cls)
+    if alias is None:
+        alias = type("Checkpoint" + cls.__name__, (cls,), {})
+        _PLAIN_CHECKPOINT_ALIASES[cls] = alias
+    return alias
+
+
 def _fanin_normal(scale: float):
     def init(key, shape, dtype=jnp.float32):
         # flax kernels are [fan_in, fan_out]

@@ -27,7 +27,7 @@ def _work_graph(cfg, directed, num_nodes):
     if cfg.use_pallas:
         return sorted_graph_mode(directed, num_nodes)
     return directed, None, None, None
-from hierarchicalgnn_tpu.models.mlp import MLP
+from hierarchicalgnn_tpu.models.mlp import MLP, maybe_remat
 from hierarchicalgnn_tpu.utils.config import ArchConfig
 
 
@@ -112,7 +112,7 @@ class BipartiteClassifierHGNN(nn.Module):
                 intermediate, nodes, edges, work,
                 node_mask=node_mask, training=training, agg=agg, gather=gather, plan=plan)
 
-        bipartite_output_layer = nn.remat(MLP)(
+        bipartite_output_layer = maybe_remat(MLP, cfg)(
             hidden_size=cfg.hidden, output_size=1,
             hidden_layers=cfg.output_layers, layer_norm=cfg.layernorm,
             output_activation=None,
@@ -140,7 +140,7 @@ class GMRT(nn.Module):
                 embeddings, nodes, edges, work,
                 node_mask=node_mask, training=training, agg=agg, gather=gather, plan=plan)
 
-        bipartite_output_layer = nn.remat(MLP)(
+        bipartite_output_layer = maybe_remat(MLP, cfg)(
             hidden_size=cfg.hidden, output_size=1,
             hidden_layers=cfg.output_layers, layer_norm=cfg.layernorm,
             output_activation=None,

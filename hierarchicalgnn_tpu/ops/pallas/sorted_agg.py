@@ -205,18 +205,145 @@ def _sorted_agg_fwd(data_sorted, seg_rep, chunk_base, n_chunks,
     out = _sorted_agg(data_sorted, seg_rep, chunk_base, n_chunks,
                       receivers_sorted, mask_sorted, num_segments, block_r,
                       block_e, c_max, interpret)
-    return out, (receivers_sorted, mask_sorted)
+    # zero-size prototype records the (possibly sub-f32) input dtype so the
+    # cotangent matches the primal when data rides the kernel in bf16
+    proto = jnp.zeros((0,), data_sorted.dtype)
+    return out, (receivers_sorted, mask_sorted, proto)
 
 
 def _sorted_agg_bwd(num_segments, block_r, block_e, c_max, interpret,
                     residuals, g):
-    receivers_sorted, mask_sorted = residuals
+    receivers_sorted, mask_sorted, proto = residuals
     idx = jnp.minimum(receivers_sorted, num_segments - 1)
-    grad = jnp.where(mask_sorted[:, None], g[idx], 0.0)
+    grad = jnp.where(mask_sorted[:, None], g[idx], 0.0).astype(proto.dtype)
     return grad, None, None, None, None, None
 
 
 _sorted_agg.defvjp(_sorted_agg_fwd, _sorted_agg_bwd)
+
+
+def _sorted_weighted_kernel(cb_ref, nch_ref, seg_ref, w_ref, data_ref,
+                            out_ref, *, block_r):
+    """One-hot matmul with the per-edge weight folded into the one-hot.
+
+    ``w_ref`` carries per-edge scalar weights in the same (1, 8, BLOCK_E)
+    broadcast layout as ``seg_ref``; instead of 0/1 entries the one-hot
+    matrix holds ``w_e``, so ``out[r] = sum_e w_e * data_e`` comes out of a
+    single MXU pass -- no materialized ``data * w`` edge tensor.
+    """
+    g = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(c < nch_ref[g])
+    def _():
+        seg = seg_ref[0, 0:1, :] - g * block_r   # (1, BLOCK_E)
+        w = w_ref[0, 0:1, :]                     # (1, BLOCK_E)
+        block_e = seg.shape[1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_r, block_e), 0)
+        onehot = jnp.broadcast_to(seg, (block_r, block_e)) == rows
+        wmat = jnp.where(onehot, jnp.broadcast_to(w, (block_r, block_e)),
+                         0.0).astype(data_ref.dtype)
+        out_ref[:] += jax.lax.dot_general(
+            wmat, data_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+
+def _pallas_sorted_weighted(data_sorted, w_rep, seg_rep, chunk_base, n_chunks,
+                            num_segments, block_r, block_e, c_max,
+                            interpret=False):
+    e_pad, d = data_sorted.shape
+    n_groups = -(-num_segments // block_r)
+    n_rows = n_groups * block_r
+    n_blocks = e_pad // block_e
+
+    def block_idx(g, c, cb, nch):
+        return jnp.minimum(cb[g] + jnp.minimum(c, nch[g] - 1), n_blocks - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups, c_max),
+        in_specs=[
+            pl.BlockSpec((1, 8, block_e),
+                         lambda g, c, cb, nch: (block_idx(g, c, cb, nch), 0, 0)),
+            pl.BlockSpec((1, 8, block_e),
+                         lambda g, c, cb, nch: (block_idx(g, c, cb, nch), 0, 0)),
+            pl.BlockSpec((block_e, d),
+                         lambda g, c, cb, nch: (block_idx(g, c, cb, nch), 0)),
+        ],
+        out_specs=pl.BlockSpec((block_r, d), lambda g, c, cb, nch: (g, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_sorted_weighted_kernel, block_r=block_r),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
+        interpret=interpret,
+    )(chunk_base, n_chunks, seg_rep, w_rep, data_sorted)
+    return out[:num_segments]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def sorted_aggregate_weighted(data_sorted, weights_sorted, plan: SortedPlan,
+                              interpret=False):
+    """Masked weighted segment sum ``out[i] = sum_{e: recv(e)=i} w_e d_e``.
+
+    The per-edge scalar weight rides inside the one-hot MXU matmul, so the
+    weighting costs no extra HBM pass (the unfused form materializes
+    ``data * w`` first).  Differentiable in both ``data_sorted`` ([E_pad, D],
+    plan order) and ``weights_sorted`` ([E_pad] or [E_pad, 1], plan order).
+    This is the hot form of the hierarchical cell's bipartite/supergraph
+    convolutions (reference ``Modules/gnn_utils.py:124,142-143``).
+    """
+    out, _ = _sorted_weighted_fwd(data_sorted, weights_sorted, plan, interpret)
+    return out
+
+
+def _weighted_forward(data_sorted, weights_sorted, plan, interpret):
+    from hierarchicalgnn_tpu.ops.segment import segment_sum
+
+    w = weights_sorted.reshape(weights_sorted.shape[0])
+    w = jnp.where(plan.edge_mask_sorted, w, 0.0).astype(jnp.float32)
+    e_pad = data_sorted.shape[0]
+    n_blocks = e_pad // plan.block_e
+    w_rep = jnp.broadcast_to(
+        w.reshape(n_blocks, 1, plan.block_e), (n_blocks, 8, plan.block_e))
+    return jax.lax.cond(
+        plan.overflowed,
+        lambda d: segment_sum(
+            jnp.where(plan.edge_mask_sorted, w, 0.0)[:, None]
+            * d.astype(jnp.float32),
+            plan.receivers_sorted, plan.num_segments,
+            indices_are_sorted=True).astype(jnp.float32),
+        lambda d: _pallas_sorted_weighted(
+            d, w_rep, plan.seg_rep, plan.chunk_base, plan.n_chunks,
+            plan.num_segments, plan.block_r, plan.block_e, plan.c_max,
+            interpret),
+        data_sorted)
+
+
+def _sorted_weighted_fwd(data_sorted, weights_sorted, plan, interpret):
+    out = _weighted_forward(data_sorted, weights_sorted, plan, interpret)
+    return out, (data_sorted, weights_sorted, plan)
+
+
+def _sorted_weighted_bwd(interpret, residuals, g):
+    data_sorted, weights_sorted, plan = residuals
+    idx = jnp.minimum(plan.receivers_sorted, plan.num_segments - 1)
+    ge = jnp.where(plan.edge_mask_sorted[:, None], g[idx], 0.0)
+    w = weights_sorted.reshape(weights_sorted.shape[0])
+    d_data = (ge * w[:, None].astype(jnp.float32)).astype(data_sorted.dtype)
+    d_w = jnp.sum(ge * data_sorted.astype(jnp.float32), axis=-1)
+    d_w = jnp.where(plan.edge_mask_sorted, d_w, 0.0)
+    d_w = d_w.reshape(weights_sorted.shape).astype(weights_sorted.dtype)
+    return d_data, d_w, None
+
+
+sorted_aggregate_weighted.defvjp(_sorted_weighted_fwd, _sorted_weighted_bwd)
 
 
 def _sorted_min_kernel(cb_ref, nch_ref, seg_ref, vals_ref, out_ref, *,
@@ -299,7 +426,7 @@ def sorted_aggregate(data_sorted, plan: SortedPlan, interpret=False):
         lambda d: segment_sum(
             jnp.where(plan.edge_mask_sorted[:, None], d, 0.0),
             plan.receivers_sorted, plan.num_segments,
-            indices_are_sorted=True),
+            indices_are_sorted=True).astype(jnp.float32),
         lambda d: _sorted_agg(
             d, plan.seg_rep, plan.chunk_base, plan.n_chunks,
             plan.receivers_sorted, plan.edge_mask_sorted, plan.num_segments,
@@ -327,7 +454,7 @@ def _plan_aggregate(g, plan: SortedPlan, interpret):
     return jax.lax.cond(
         plan.overflowed,
         lambda x: segment_sum(x, plan.receivers_sorted, plan.num_segments,
-                              indices_are_sorted=True),
+                              indices_are_sorted=True).astype(jnp.float32),
         lambda x: _pallas_sorted_aggregate(
             x, plan.seg_rep, plan.chunk_base, plan.n_chunks,
             plan.num_segments, plan.block_r, plan.block_e, plan.c_max,
@@ -359,8 +486,8 @@ def _gather_ee_bwd(interpret, residuals, cots):
     else:
         d_s = segment_sum(
             jnp.where(plan.edge_mask_sorted[:, None], g_s, 0.0),
-            plan.senders_sorted, plan.num_segments)
-    return (d_r + d_s, None, None, None)
+            plan.senders_sorted, plan.num_segments).astype(jnp.float32)
+    return ((d_r + d_s).astype(g_r.dtype), None, None, None)
 
 
 _gather_ee.defvjp(_gather_ee_fwd, _gather_ee_bwd)

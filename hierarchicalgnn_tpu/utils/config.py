@@ -29,6 +29,7 @@ _TPU_DEFAULTS = {
     "use_pallas": False,
     "knn_block_size": 1024,
     "gmm_iters": 60,
+    "remat": True,   # reference-parity gradient checkpointing of every MLP
     # parallelism
     "mesh_shape": None,          # e.g. {"data": 4, "graph": 2}
     "gradient_clip_val": 0.5,
@@ -85,6 +86,7 @@ class ArchConfig:
     knn_block_size: int = 1024
     use_pallas: bool = False
     compute_dtype: str | None = None  # "bfloat16" for 2x-rate MXU matmuls
+    remat: bool = True  # checkpoint every MLP (reference gnn_utils.py:14-15)
 
     @staticmethod
     def from_hparams(hparams: dict) -> "ArchConfig":

@@ -219,7 +219,7 @@ void hgnn_loader_close(void* loader) {
   l->not_full.notify_all();
   l->not_empty.notify_all();
   for (auto& t : l->workers) t.join();
-  for (Event* ev : l->queue) delete ev;
+  for (auto& kv : l->pending) delete kv.second;
   delete l;
 }
 

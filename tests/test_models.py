@@ -121,3 +121,32 @@ class TestForwards:
                                      node_mask=b2.node_mask, training=False))
         e = int(np.asarray(b1.graph.edge_mask).sum())
         np.testing.assert_allclose(s1[:e], s2[:e], rtol=1e-4, atol=1e-5)
+
+
+def test_remat_toggle_equivalence():
+    """remat=False must keep the param tree, forward, and grads identical
+    to the reference-parity remat=True configuration."""
+    import dataclasses
+
+    hparams, model, pipeline, batch, variables = init_model("EC-IN")
+    cfg_off = dataclasses.replace(model.cfg, remat=False)
+    model_off = type(model)(cfg_off)
+
+    out_on = model.apply(variables, batch.x, batch.graph,
+                         node_mask=batch.node_mask, training=False)
+    out_off = model_off.apply(variables, batch.x, batch.graph,
+                              node_mask=batch.node_mask, training=False)
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
+                               atol=1e-6)
+
+    params = variables["params"]
+
+    def loss(p, m):
+        scores = m.apply({**variables, "params": p}, batch.x, batch.graph,
+                         node_mask=batch.node_mask, training=False)
+        return jnp.sum(scores ** 2)
+
+    g_on = jax.grad(loss)(params, model)
+    g_off = jax.grad(loss)(params, model_off)
+    for a, b in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_off)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -166,3 +166,71 @@ def test_gather_endpoints_backward(rng):
                                np.asarray(g_ref), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(jax.grad(f_kernel_single)(nodes)),
                                np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_bfloat16_data(rng):
+    """bf16 edge data rides the kernel with f32 accumulation; the overflow
+    fallback and both custom-VJP paths keep dtypes consistent."""
+    s, r, m, data = problem(rng, 256, 1000, 1024, 128)
+    plan = build_sorted_plan(s, r, m, 256)
+    dsb = plan.sort(data.astype(jnp.bfloat16))
+    out = sorted_aggregate(dsb, plan, interpret=True)
+    assert out.dtype == jnp.float32
+    ref = segment_sum(jnp.where(m[:, None], data, 0.0), r, 256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss(d):
+        return jnp.sum(sorted_aggregate(d, plan, interpret=True) ** 2)
+
+    g = jax.grad(loss)(dsb)
+    assert g.dtype == jnp.bfloat16
+
+    # overflow branch returns the same dtype as the kernel branch
+    plan_o = build_sorted_plan(s, r, m, 256, c_max=1)
+    assert bool(plan_o.overflowed)
+    out_o = sorted_aggregate(plan_o.sort(data.astype(jnp.bfloat16)), plan_o,
+                             interpret=True)
+    assert out_o.dtype == jnp.float32
+
+
+def test_weighted_aggregate(rng):
+    """Fused weighted aggregation (weight inside the one-hot matmul) matches
+    the materialized data*w oracle in forward and both gradients, for the
+    kernel path, the overflow fallback, and bf16 data."""
+    s, r, m, data = problem(rng, 256, 1000, 1024, 128)
+    w = jnp.asarray(rng.normal(size=(1024, 1)).astype(np.float32))
+    from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
+        sorted_aggregate_weighted,
+    )
+
+    plan = build_sorted_plan(s, r, m, 256)
+    ds, ws = plan.sort(data), plan.sort(w)
+    out = sorted_aggregate_weighted(ds, ws, plan, True)
+    ref = segment_sum(jnp.where(m[:, None], data * w, 0.0), r, 256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def loss(d, w_):
+        return jnp.sum(sorted_aggregate_weighted(d, w_, plan, True) ** 2)
+
+    def loss_ref(d, w_):
+        o = segment_sum(
+            jnp.where(plan.edge_mask_sorted[:, None], d * w_, 0.0),
+            plan.receivers_sorted, 256, indices_are_sorted=True)
+        return jnp.sum(o ** 2)
+
+    gd, gw = jax.grad(loss, argnums=(0, 1))(ds, ws)
+    gd_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(ds, ws)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gd_r), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r), atol=1e-3)
+
+    out_b = sorted_aggregate_weighted(ds.astype(jnp.bfloat16), ws, plan, True)
+    assert out_b.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+
+    plan_o = build_sorted_plan(s, r, m, 256, c_max=1)
+    assert bool(plan_o.overflowed)
+    out_o = sorted_aggregate_weighted(plan_o.sort(data), plan_o.sort(w),
+                                      plan_o, True)
+    np.testing.assert_allclose(np.asarray(out_o), np.asarray(ref), atol=1e-4)
