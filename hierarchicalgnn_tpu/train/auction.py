@@ -38,6 +38,17 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
     pair_scores: [P, C] dense accumulated scores (padded entries ignored).
     Returns (col_match int32[P], matched bool[P]): ``matched`` is False for
     padded rows and rows that took their virtual escape.
+
+    Best/second-best per row come from fused max reductions over
+    ``a - prices`` (no materialized [P, C] temporaries -- ``lax.top_k`` and
+    scatter-``.set`` row-masking both cost several extra HBM passes), and
+    the loop is a ``while_loop`` with a hard round cap -- typical instances
+    exit in a handful of rounds.  Rows whose only alternative is the
+    virtual escape bid their full value, so single-column pile-ups (the
+    early-training regime with one cluster and thousands of particles)
+    resolve in one round; only adversarial near-tie wars between real
+    columns approach the cap, and rows still unassigned there take the
+    conservative unmatched label.
     """
     p, c = pair_scores.shape
     row_valid = jnp.arange(p) < n_particles
@@ -46,15 +57,17 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
                   pair_scores.astype(jnp.float32), NEG)
 
     def body(state):
-        prices, assign, _ = state
+        prices, assign, _, it = state
         # assign: -1 unassigned, -2 virtual, >=0 candidate id
         unassigned = (assign == -1) & row_valid
 
         net = a - prices[None, :]
         v1 = jnp.max(net, axis=1)
         j1 = jnp.argmax(net, axis=1).astype(jnp.int32)
-        net2 = net.at[jnp.arange(p), j1].set(NEG)
-        v2 = jnp.maximum(jnp.max(net2, axis=1), NEG)
+        # second-best via a fused masked reduction (the where re-derives
+        # from net inside the same fusion; nothing is written back to HBM)
+        v2 = jnp.max(jnp.where(
+            jnp.arange(c)[None, :] == j1[:, None], NEG, net), axis=1)
 
         # private virtual escape: no competition, prices never drop, so a
         # virtual-best row retires permanently
@@ -83,22 +96,16 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
             jnp.where(won, bids, NEG))
 
         still = jnp.any((new_assign == -1) & row_valid)
-        return new_prices, new_assign, still
+        return new_prices, new_assign, still, it + 1
 
     def cond(state):
-        _, _, active = state
-        return active
+        _, _, active, it = state
+        return active & (it < max_iters)
 
     prices0 = jnp.zeros((c,), jnp.float32)
     assign0 = jnp.where(row_valid, -1, -2).astype(jnp.int32)
-
-    def bounded_body(i, state):
-        prices, assign, active = state
-        return jax.lax.cond(active, body, lambda s: s,
-                            (prices, assign, active))
-
-    prices, assign, _ = jax.lax.fori_loop(
-        0, max_iters, bounded_body, (prices0, assign0, jnp.asarray(True)))
+    prices, assign, _, _ = jax.lax.while_loop(
+        cond, body, (prices0, assign0, jnp.asarray(True), 0))
 
     matched = (assign >= 0) & row_valid
     col_match = jnp.where(matched, assign, 0).astype(jnp.int32)
