@@ -131,6 +131,145 @@ def test_interaction_cell_parity(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_hierarchical_cell_parity(rng):
+    """One hierarchical iteration vs the reference update equations
+    (gnn_utils.py:119-169): weighted bipartite/supergraph scatter_add
+    convolutions, 4 MLP+residual updates, and the semantic update order
+    (supernodes from OLD nodes, nodes from NEW supernodes)."""
+    from hierarchicalgnn_tpu.models.cells import HierarchicalGNNCell
+
+    latent, hidden = 16, 32
+    n, c = 24, 6
+    e, be, se = 60, 40, 18
+    cfg = ArchConfig(latent=latent, hidden=hidden, nb_node_layer=2,
+                     nb_edge_layer=2, layernorm=True,
+                     hidden_activation="GELU")
+    nodes = rng.normal(size=(n, latent)).astype(np.float32)
+    edges = rng.normal(size=(e, latent)).astype(np.float32)
+    supernodes = rng.normal(size=(c, latent)).astype(np.float32)
+    superedges = rng.normal(size=(se, latent)).astype(np.float32)
+    g_s = rng.integers(0, n, e).astype(np.int32)
+    g_r = rng.integers(0, n, e).astype(np.int32)
+    b_s = rng.integers(0, n, be).astype(np.int32)   # hit side
+    b_r = rng.integers(0, c, be).astype(np.int32)   # supernode side
+    s_s = rng.integers(0, c, se).astype(np.int32)
+    s_r = rng.integers(0, c, se).astype(np.int32)
+    bw = rng.uniform(0.1, 2.0, (be, 1)).astype(np.float32)
+    sw = rng.uniform(0.1, 2.0, (se, 1)).astype(np.float32)
+
+    graph = Graph(jnp.asarray(g_s), jnp.asarray(g_r), jnp.ones((e,), bool))
+    bgraph = Graph(jnp.asarray(b_s), jnp.asarray(b_r), jnp.ones((be,), bool))
+    sgraph = Graph(jnp.asarray(s_s), jnp.asarray(s_r), jnp.ones((se,), bool))
+
+    cell = HierarchicalGNNCell(cfg)
+    variables = cell.init(
+        jax.random.key(2), jnp.asarray(nodes), jnp.asarray(edges),
+        jnp.asarray(supernodes), jnp.asarray(superedges), graph,
+        (bgraph, jnp.asarray(bw)), (sgraph, jnp.asarray(sw)))
+
+    # torch oracles, construction order node/edge/supernode/superedge
+    t_node = torch_mlp(3 * latent, hidden, latent, 2, "GELU", "GELU", True)
+    t_edge = torch_mlp(3 * latent, hidden, latent, 2, "GELU", "Tanh", True)
+    t_super = torch_mlp(3 * latent, hidden, latent, 2, "GELU", "GELU", True)
+    t_sedge = torch_mlp(3 * latent, hidden, latent, 2, "GELU", "Tanh", True)
+    params = dict(variables["params"])
+    for key, tmlp in [("CheckpointMLP_0", t_node), ("CheckpointMLP_1", t_edge),
+                      ("CheckpointMLP_2", t_super), ("CheckpointMLP_3", t_sedge)]:
+        params[key] = copy_mlp_params(tmlp, params[key])
+
+    ours = cell.apply({"params": params}, jnp.asarray(nodes),
+                      jnp.asarray(edges), jnp.asarray(supernodes),
+                      jnp.asarray(superedges), graph,
+                      (bgraph, jnp.asarray(bw)), (sgraph, jnp.asarray(sw)))
+
+    tn = torch.from_numpy(nodes)
+    te = torch.from_numpy(edges)
+    tsn = torch.from_numpy(supernodes)
+    tse = torch.from_numpy(superedges)
+    tbw = torch.from_numpy(bw)
+    tsw = torch.from_numpy(sw)
+    L = lambda a: torch.from_numpy(a.astype(np.int64))
+
+    # supernode update from OLD nodes (gnn_utils.py:138-145)
+    node_msg = torch.zeros(c, latent).index_add_(0, L(b_r), tbw * tn[L(b_s)])
+    attn_msg = torch.zeros(c, latent).index_add_(0, L(s_r), tse * tsw)
+    new_super = t_super(torch.cat([tsn, attn_msg, node_msg], -1)) + tsn
+    # node update from NEW supernodes (gnn_utils.py:119-127)
+    super_msg = torch.zeros(n, latent).index_add_(0, L(b_s),
+                                                  tbw * new_super[L(b_r)])
+    edge_msg = torch.zeros(n, latent).index_add_(0, L(g_r), te)
+    new_nodes = t_node(torch.cat([tn, edge_msg, super_msg], -1)) + tn
+    # superedge / edge updates (gnn_utils.py:147-153, :129-135)
+    new_sedges = t_sedge(torch.cat(
+        [new_super[L(s_s)], new_super[L(s_r)], tse], -1)) + tse
+    new_edges = t_edge(torch.cat(
+        [new_nodes[L(g_s)], new_nodes[L(g_r)], te], -1)) + te
+
+    for got, want in zip(ours, (new_nodes, new_edges, new_super, new_sedges)):
+        np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_ec_model_full_parity(rng):
+    """Full EC-IN forward vs a torch oracle of the reference model
+    (EdgeClassifier/Models/IN.py:80-128): encoders, bidirected graph,
+    N interaction iterations, paired-edge classifier head, sigmoid —
+    whole-model per-layer activation parity."""
+    from hierarchicalgnn_tpu.models.models import EdgeClassifierIN
+
+    latent, hidden, iters = 8, 16, 3
+    n, e = 25, 50
+    cfg = ArchConfig(spatial_channels=3, latent=latent, hidden=hidden,
+                     n_interaction_graph_iters=iters, nb_node_layer=2,
+                     nb_edge_layer=2, output_layers=2, layernorm=True,
+                     hidden_activation="GELU",
+                     hidden_output_activation="Tanh", use_pallas=False)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    graph = Graph(jnp.asarray(s), jnp.asarray(r), jnp.ones((e,), bool))
+
+    model = EdgeClassifierIN(cfg)
+    variables = model.init(jax.random.key(3), jnp.asarray(x), graph)
+
+    t_node_enc = torch_mlp(3, hidden, latent, 2, "GELU", "GELU", True)
+    t_edge_enc = torch_mlp(6, hidden, latent, 2, "GELU", "GELU", True)
+    t_cells = [(torch_mlp(2 * latent, hidden, latent, 2, "GELU", "GELU", True),
+                torch_mlp(3 * latent, hidden, latent, 2, "GELU", "Tanh", True))
+               for _ in range(iters)]
+    t_cls = torch_mlp(2 * latent, hidden, 1, 2, "Tanh", None, True)
+
+    params = dict(variables["params"])
+    block = dict(params["InteractionGNNBlock_0"])
+    block["CheckpointMLP_0"] = copy_mlp_params(t_node_enc, block["CheckpointMLP_0"])
+    block["CheckpointMLP_1"] = copy_mlp_params(t_edge_enc, block["CheckpointMLP_1"])
+    for i, (t_n, t_e) in enumerate(t_cells):
+        cell = dict(block[f"InteractionGNNCell_{i}"])
+        cell["CheckpointMLP_0"] = copy_mlp_params(t_n, cell["CheckpointMLP_0"])
+        cell["CheckpointMLP_1"] = copy_mlp_params(t_e, cell["CheckpointMLP_1"])
+        block[f"InteractionGNNCell_{i}"] = cell
+    params["InteractionGNNBlock_0"] = block
+    params["MLP_0"] = copy_mlp_params(t_cls, params["MLP_0"])
+
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(x), graph))
+
+    tx = torch.from_numpy(x)
+    L = lambda a: torch.from_numpy(a.astype(np.int64))
+    ds = torch.cat([L(s), L(r)])   # directed_graph = cat([g, g.flip(0)])
+    dr = torch.cat([L(r), L(s)])
+    tnodes = t_node_enc(tx)
+    tedges = t_edge_enc(torch.cat([tx[ds], tx[dr]], -1))
+    for t_n, t_e in t_cells:
+        msg = torch.zeros(n, latent).index_add_(0, dr, tedges)
+        tnodes = t_n(torch.cat([tnodes, msg], -1)) + tnodes
+        tedges = t_e(torch.cat([tnodes[ds], tnodes[dr], tedges], -1)) + tedges
+    scores = torch.sigmoid(
+        t_cls(torch.cat([tedges[:e], tedges[e:]], -1)).squeeze(1))
+
+    np.testing.assert_allclose(ours, scores.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_pt_weighting_parity(rng):
     """Weight curve vs the reference formula (edge_classifier_base.py:82-97)."""
     from hierarchicalgnn_tpu.train.losses import pt_weighting
