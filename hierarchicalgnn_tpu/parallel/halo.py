@@ -63,17 +63,30 @@ def partition_edges_by_receiver(senders, receivers, edge_mask, num_nodes,
     return s_out, r_out, m_out
 
 
-def make_halo_flat_forward(model_block_apply, mesh: Mesh, axis: str = "graph"):
+def make_halo_flat_forward(model_block_apply, mesh: Mesh, axis: str = "graph",
+                           rdma_gather: bool = False):
     """Wrap a flat-IN style per-shard forward into a shard_map.
 
     ``model_block_apply(params, x_local, senders_global, receivers_local,
     edge_mask, gather_nodes)`` is the per-device computation; it receives a
     ``gather_nodes(nodes_local) -> all_nodes`` halo function that hides the
     collective.
-    """
 
-    def gather_nodes(nodes_local):
-        return jax.lax.all_gather(nodes_local, axis, axis=0, tiled=True)
+    ``rdma_gather``: route the halo through the hand-scheduled Pallas
+    bidirectional-ring RDMA collective (ops/pallas/ring_gather.py) instead
+    of ``lax.all_gather`` (interpreted off-TPU).
+    """
+    if rdma_gather:
+        from hierarchicalgnn_tpu.ops.pallas.ring_gather import ring_all_gather
+
+        n_dev = mesh.shape[axis]
+        interp = jax.default_backend() != "tpu"
+
+        def gather_nodes(nodes_local):
+            return ring_all_gather(nodes_local, axis, n_dev, interpret=interp)
+    else:
+        def gather_nodes(nodes_local):
+            return jax.lax.all_gather(nodes_local, axis, axis=0, tiled=True)
 
     def per_device(params, x_local, senders, receivers_local, edge_mask):
         return model_block_apply(params, x_local, senders, receivers_local,
@@ -83,6 +96,7 @@ def make_halo_flat_forward(model_block_apply, mesh: Mesh, axis: str = "graph"):
         per_device, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
+        check_vma=False,  # the Pallas RDMA gather has no vma annotations
     )
 
 

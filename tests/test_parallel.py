@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hierarchicalgnn_tpu.data.event import preprocess_event
 from hierarchicalgnn_tpu.data.synthetic import generate_dataset
@@ -92,8 +93,12 @@ def test_dp_matches_single_device():
                                rtol=1e-4)
 
 
-def test_halo_partitioned_flat_in_matches_unsharded(rng):
-    """Edge-partitioned shard_map flat-IN == unsharded oracle."""
+@pytest.mark.parametrize("rdma", [False, True],
+                         ids=["all_gather", "rdma_ring"])
+def test_halo_partitioned_flat_in_matches_unsharded(rng, rdma):
+    """Edge-partitioned shard_map flat-IN == unsharded oracle, through both
+    halo backends: XLA all_gather and the Pallas bidirectional-ring RDMA
+    collective (interpreted on the CPU mesh)."""
     from hierarchicalgnn_tpu.models.mlp import MLP
     from hierarchicalgnn_tpu.parallel import halo
 
@@ -131,7 +136,7 @@ def test_halo_partitioned_flat_in_matches_unsharded(rng):
     mesh = make_mesh(data=1, graph=n_parts)
     mesh1 = jax.sharding.Mesh(np.asarray(mesh.devices).reshape(-1), ("graph",))
     fwd = halo.make_halo_flat_forward(
-        halo.make_halo_flat_in(mlps, iterations=2), mesh1)
+        halo.make_halo_flat_in(mlps, iterations=2), mesh1, rdma_gather=rdma)
     # flatten per-device stacks into globally-sharded arrays
     nodes_out = fwd(params, jnp.asarray(x),
                     jnp.asarray(s_p.reshape(-1)),
@@ -141,8 +146,11 @@ def test_halo_partitioned_flat_in_matches_unsharded(rng):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_halo_gradients_match_unsharded(rng):
-    """Param gradients through the shard_map halo forward == unsharded."""
+@pytest.mark.parametrize("rdma", [False, True],
+                         ids=["all_gather", "rdma_ring"])
+def test_halo_gradients_match_unsharded(rng, rdma):
+    """Param gradients through the shard_map halo forward == unsharded.
+    The RDMA ring variant exercises the custom VJP (psum_scatter)."""
     from hierarchicalgnn_tpu.models.mlp import MLP
     from hierarchicalgnn_tpu.parallel import halo
 
@@ -168,7 +176,7 @@ def test_halo_gradients_match_unsharded(rng):
     mesh1 = jax.sharding.Mesh(
         np.asarray(jax.devices()[:n_parts]), ("graph",))
     fwd = halo.make_halo_flat_forward(
-        halo.make_halo_flat_in(mlps, iterations=2), mesh1)
+        halo.make_halo_flat_in(mlps, iterations=2), mesh1, rdma_gather=rdma)
 
     def loss_halo(p):
         out = fwd(p, jnp.asarray(x), jnp.asarray(s_p.reshape(-1)),
