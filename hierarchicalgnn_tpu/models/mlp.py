@@ -41,18 +41,28 @@ _PLAIN_CHECKPOINT_ALIASES: dict = {}
 
 
 def maybe_remat(cls, cfg):
-    """Remat-wrap a module class when ``cfg.remat``.
+    """Remat-wrap a module class per ``cfg.remat``.
 
     The reference checkpoints every MLP application unconditionally
     (``Modules/gnn_utils.py:14-15``) because 100k-hit events exhaust GPU
     memory.  On TPU the padded events fit HBM comfortably at TrackML-1GeV
-    scale, so ``remat: false`` skips the backward-pass recompute of every
-    MLP forward (roughly a 3x->2x forward-equivalents backward).
+    scale, so the policy is a measured knob:
 
-    The non-remat branch is aliased to the remat auto-name
-    (``Checkpoint<cls>``) so the flax param tree — and therefore every
-    saved checkpoint — is identical under either setting.
+      * ``true``   — full recompute (reference parity): smallest memory,
+        backward re-runs every MLP forward.
+      * ``"dots"`` — ``dots_with_no_batch_dims_saveable``: matmul outputs
+        are saved (they are what the MXU produced anyway), only the cheap
+        elementwise tail (LayerNorm/GELU) is recomputed.
+      * ``false``  — save everything; no recompute, most activation HBM.
+
+    Every branch is aliased to the remat auto-name (``Checkpoint<cls>``)
+    so the flax param tree — and therefore every saved checkpoint — is
+    identical under any setting.
     """
+    if cfg.remat == "dots":
+        return nn.remat(
+            cls,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     if cfg.remat:
         return nn.remat(cls)
     alias = _PLAIN_CHECKPOINT_ALIASES.get(cls)

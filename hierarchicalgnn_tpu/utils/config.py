@@ -86,7 +86,10 @@ class ArchConfig:
     knn_block_size: int = 1024
     use_pallas: bool = False
     compute_dtype: str | None = None  # "bfloat16" for 2x-rate MXU matmuls
-    remat: bool = True  # checkpoint every MLP (reference gnn_utils.py:14-15)
+    # MLP gradient checkpointing (reference gnn_utils.py:14-15):
+    # True = full recompute (reference parity), "dots" = save matmul
+    # outputs / recompute elementwise, False = save everything.
+    remat: bool | str = True
 
     @staticmethod
     def from_hparams(hparams: dict) -> "ArchConfig":

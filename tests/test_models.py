@@ -123,13 +123,14 @@ class TestForwards:
         np.testing.assert_allclose(s1[:e], s2[:e], rtol=1e-4, atol=1e-5)
 
 
-def test_remat_toggle_equivalence():
-    """remat=False must keep the param tree, forward, and grads identical
-    to the reference-parity remat=True configuration."""
+@pytest.mark.parametrize("variant", [False, "dots"])
+def test_remat_toggle_equivalence(variant):
+    """remat=False / remat="dots" must keep the param tree, forward, and
+    grads identical to the reference-parity remat=True configuration."""
     import dataclasses
 
     hparams, model, pipeline, batch, variables = init_model("EC-IN")
-    cfg_off = dataclasses.replace(model.cfg, remat=False)
+    cfg_off = dataclasses.replace(model.cfg, remat=variant)
     model_off = type(model)(cfg_off)
 
     out_on = model.apply(variables, batch.x, batch.graph,
