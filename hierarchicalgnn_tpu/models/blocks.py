@@ -104,6 +104,11 @@ class InteractionGNNBlock(nn.Module):
         nodes = node_encoder(x)
         edges = edge_encoder(
             jnp.concatenate([x[graph.senders], x[graph.receivers]], -1))
+        # bf16 data path: the node/edge residual streams, gathers, concats
+        # and aggregations all run at half the HBM traffic; heads cast back.
+        if cfg.compute_dtype:
+            nodes = nodes.astype(cfg.compute_dtype)
+            edges = edges.astype(cfg.compute_dtype)
 
         # One aggregation plan for all iterations.
         if agg is None:
@@ -127,7 +132,7 @@ class InteractionGNNBlock(nn.Module):
             output_activation=None,
             hidden_activation=cfg.hidden_output_activation,
             compute_dtype=cfg.compute_dtype)
-        embeddings = l2_normalize(output_layer(nodes))
+        embeddings = l2_normalize(output_layer(nodes).astype(jnp.float32))
         return embeddings, nodes, edges
 
 
@@ -322,8 +327,9 @@ class HierarchicalGNNBlock(nn.Module):
         # --- supernode / superedge initialization ---
         init_nodes = l1_normalize(nodes) if self.l1_norm_supernode_init else nodes
         agg_to_super, b_send = aggs["bip_to_super"]
-        agg_init = agg_to_super(init_nodes[b_send])
-        supernodes = jnp.concatenate([means, supernode_encoder(agg_init)], -1)
+        agg_init = agg_to_super(init_nodes[b_send]).astype(nodes.dtype)
+        supernodes = jnp.concatenate(
+            [means.astype(nodes.dtype), supernode_encoder(agg_init)], -1)
         superedges = superedge_encoder(jnp.concatenate(
             [supernodes[super_graph.senders],
              supernodes[super_graph.receivers]], -1))
@@ -352,7 +358,8 @@ class HierarchicalGNNBlock(nn.Module):
                 output_activation=None,
                 hidden_activation=cfg.hidden_output_activation,
             compute_dtype=cfg.compute_dtype)
-            out_embeddings = l2_normalize(output_layer(nodes))
+            out_embeddings = l2_normalize(
+                output_layer(nodes).astype(jnp.float32))
             return out_embeddings, aux
         return nodes, supernodes, (bipartite_graph, bipartite_weights), aux
 
@@ -379,5 +386,8 @@ class GMRTEncoders(nn.Module):
         nodes = node_encoder(x)
         edges = edge_encoder(
             jnp.concatenate([x[graph.senders], x[graph.receivers]], -1))
-        embeddings = l2_normalize(output_layer(nodes))
+        embeddings = l2_normalize(output_layer(nodes).astype(jnp.float32))
+        if cfg.compute_dtype:
+            nodes = nodes.astype(cfg.compute_dtype)
+            edges = edges.astype(cfg.compute_dtype)
         return embeddings, nodes, edges

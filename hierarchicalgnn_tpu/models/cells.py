@@ -58,7 +58,9 @@ class InteractionGNNCell(nn.Module):
             agg = make_aggregator(graph.receivers, graph.edge_mask, n)
         if gather is None:
             gather = lambda x: (x[graph.senders], x[graph.receivers])
-        edge_messages = agg(edges)
+        # Aggregators accumulate in f32; cast messages back to the residual
+        # stream's dtype so a bf16 data path stays bf16 through the concat.
+        edge_messages = agg(edges).astype(nodes.dtype)
         nodes = node_network(jnp.concatenate([nodes, edge_messages], -1)) + nodes
 
         n_src, n_dst = gather(nodes)
@@ -144,14 +146,17 @@ class HierarchicalGNNCell(nn.Module):
         agg_to_node, b_cluster = aggs["bip_to_node"]
 
         # --- supernode update from OLD nodes (reference :138-145) ---
-        node_messages = agg_to_super(nodes[b_send])
-        attention_messages = aggs["super_to_super"](superedges)
+        # (f32-accumulated messages cast back to the residual dtype)
+        node_messages = agg_to_super(nodes[b_send]).astype(supernodes.dtype)
+        attention_messages = aggs["super_to_super"](
+            superedges).astype(supernodes.dtype)
         new_supernodes = supernode_network(jnp.concatenate(
             [supernodes, attention_messages, node_messages], -1)) + supernodes
 
         # --- node update from NEW supernodes (reference :119-127) ---
-        supernode_messages = agg_to_node(new_supernodes[b_cluster])
-        edge_messages = aggs["edge_to_node"](edges)
+        supernode_messages = agg_to_node(
+            new_supernodes[b_cluster]).astype(nodes.dtype)
+        edge_messages = aggs["edge_to_node"](edges).astype(nodes.dtype)
         new_nodes = node_network(jnp.concatenate(
             [nodes, edge_messages, supernode_messages], -1)) + nodes
 

@@ -103,6 +103,7 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        in_dtype = x.dtype  # dtype-preserving: bf16 residual streams stay bf16
         act = activation(self.hidden_activation)
         sizes: Sequence[int] = (
             [self.hidden_size] * (self.hidden_layers - 1) + [self.output_size]
@@ -112,16 +113,20 @@ class MLP(nn.Module):
             x = nn.Dense(size, kernel_init=kinit, dtype=dtype,
                          bias_init=nn.initializers.zeros)(x)
             if self.layer_norm:
-                x = nn.LayerNorm(epsilon=1e-5)(x)
+                # dtype=compute keeps the whole MLP interior in the compute
+                # dtype: LayerNorm's default (None) would promote back to
+                # f32 against its f32 params, inserting an up/down cast
+                # bounce around every hidden layer.
+                x = nn.LayerNorm(epsilon=1e-5, dtype=dtype)(x)
             x = act(x)
         kinit = first_layer_init if len(sizes) == 1 else hidden_layer_init
         x = nn.Dense(sizes[-1], kernel_init=kinit, dtype=dtype,
                      bias_init=nn.initializers.zeros)(x)
         if self.output_activation is not None:
             if self.layer_norm:
-                x = nn.LayerNorm(epsilon=1e-5)(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=dtype)(x)
             x = activation(self.output_activation)(x)
-        return x.astype(jnp.float32) if dtype is not None else x
+        return x.astype(in_dtype) if dtype is not None else x
 
 
 class DebugPrint(nn.Module):

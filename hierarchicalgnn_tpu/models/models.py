@@ -58,6 +58,7 @@ class EdgeClassifierIN(nn.Module):
             compute_dtype=cfg.compute_dtype)
         scores = edge_classifier(
             jnp.concatenate([edges[:e], edges[e:]], -1))[:, 0]
+        scores = scores.astype(jnp.float32)  # head output leaves the bf16 path
         return jnp.where(graph.edge_mask, nn.sigmoid(scores), 0.0)
 
 
@@ -119,7 +120,8 @@ class BipartiteClassifierHGNN(nn.Module):
             hidden_activation=cfg.hidden_output_activation,
             compute_dtype=cfg.compute_dtype)
         scores = nn.sigmoid(bipartite_output_layer(jnp.concatenate(
-            [nodes[bgraph.senders], supernodes[bgraph.receivers]], -1))[:, 0])
+            [nodes[bgraph.senders], supernodes[bgraph.receivers]],
+            -1))[:, 0].astype(jnp.float32))
         scores = jnp.where(bgraph.edge_mask, scores, 0.0)
         return bgraph, scores, intermediate, aux
 
@@ -147,6 +149,7 @@ class GMRT(nn.Module):
             hidden_activation=cfg.hidden_output_activation,
             compute_dtype=cfg.compute_dtype)
         scores = nn.sigmoid(bipartite_output_layer(jnp.concatenate(
-            [nodes[bgraph.senders], supernodes[bgraph.receivers]], -1))[:, 0])
+            [nodes[bgraph.senders], supernodes[bgraph.receivers]],
+            -1))[:, 0].astype(jnp.float32))
         scores = jnp.where(bgraph.edge_mask, scores, 0.0)
         return bgraph, scores, embeddings, aux

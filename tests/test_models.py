@@ -123,6 +123,37 @@ class TestForwards:
         np.testing.assert_allclose(s1[:e], s2[:e], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("name", ["EC-IN", "BC-HGNN-GMM"])
+def test_bf16_data_path(name):
+    """compute_dtype="bfloat16" runs the whole cell data path in bf16
+    (residual streams, gathers, aggregations) with f32 heads/losses: loss
+    and grads must stay finite and close to the f32 run, and the param
+    tree must be identical (checkpoint-compatible)."""
+    hparams, model, pipeline = model_selector(name, SMALL)
+    batch = small_batch(hparams)
+    results = {}
+    trees = {}
+    for dt in [None, "bfloat16"]:
+        hp, m, pl = model_selector(name, dict(SMALL, compute_dtype=dt))
+        variables = dict(m.init(jax.random.key(0), batch.x, batch.graph,
+                                node_mask=batch.node_mask, training=False))
+        params = variables.pop("params")
+        trees[str(dt)] = jax.tree.structure(params)
+
+        def loss_fn(p):
+            loss, _ = pl.loss(p, variables, batch, 0, training=True)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        gn = float(sum(jnp.sum(jnp.square(g))
+                       for g in jax.tree.leaves(grads)))
+        assert np.isfinite(float(loss)) and np.isfinite(gn)
+        results[str(dt)] = float(loss)
+    assert trees["None"] == trees["bfloat16"]
+    np.testing.assert_allclose(results["bfloat16"], results["None"],
+                               rtol=0.05)
+
+
 @pytest.mark.parametrize("variant", [False, "dots"])
 def test_remat_toggle_equivalence(variant):
     """remat=False / remat="dots" must keep the param tree, forward, and
