@@ -26,6 +26,12 @@ traffic) so XLA cannot hoist the aggregation out of the loop.
 import json
 import time
 
+import os
+import sys
+
+# Self-locating: survives the venv being rebuilt without the editable install.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import jax
 
 # reuse compiled programs across runs (axon remote compiles are slow)

@@ -19,6 +19,12 @@ import argparse
 import json
 import time
 
+import os
+import sys
+
+# Self-locating: survives the venv being rebuilt without the editable install.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,6 +10,11 @@ directory of preprocessed events for real data.
 """
 
 import argparse
+import os
+import sys
+
+# Self-locating: works without the editable install.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hierarchicalgnn_tpu.data import generate_dataset
 from hierarchicalgnn_tpu.models import model_selector
