@@ -29,7 +29,6 @@ _TPU_DEFAULTS = {
     "use_pallas": False,
     "knn_block_size": 1024,
     "gmm_iters": 60,
-    "remat": True,   # reference-parity gradient checkpointing of every MLP
     # parallelism
     "mesh_shape": None,          # e.g. {"data": 4, "graph": 2}
     "gradient_clip_val": 0.5,
@@ -43,6 +42,11 @@ def process_hparams(hparams: dict) -> dict:
         hparams["hidden"] = hparams["hidden_ratio"] * hparams["latent"]
     if "cluster_granularity" not in hparams:
         hparams["cluster_granularity"] = 0
+    # MLP remat default is dtype-aware (measured on v5e, BC flagship step):
+    # f32 activations are heavy enough that full recompute wins (reference-
+    # parity remat=True); bf16 halves the saved-activation traffic and
+    # flips it — saving activations beats recompute by ~17%.
+    hparams.setdefault("remat", not hparams.get("compute_dtype"))
     for key, value in _TPU_DEFAULTS.items():
         hparams.setdefault(key, value)
     return hparams
