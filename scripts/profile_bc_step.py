@@ -51,7 +51,7 @@ BASE_OVERRIDES = {
 _REMAT = {"ref": True, "dots": "dots", "none": False}
 
 
-def build(overrides, dtype):
+def build(overrides, dtype, n_particles=3000):
     from hierarchicalgnn_tpu.data.event import preprocess_event
     from hierarchicalgnn_tpu.data.synthetic import generate_event
     from hierarchicalgnn_tpu.models.registry import model_selector
@@ -62,7 +62,7 @@ def build(overrides, dtype):
         ov["compute_dtype"] = dtype
     hparams, model, pipeline = model_selector("BC-HGNN-GMM", ov)
     rng = np.random.default_rng(0)
-    raw = generate_event(rng, n_particles=3000)
+    raw = generate_event(rng, n_particles=n_particles)
     batch = jax.tree.map(jnp.asarray, preprocess_event(raw, hparams))
     variables = model.init(jax.random.key(0), batch.x, batch.graph,
                            node_mask=batch.node_mask, training=False)
