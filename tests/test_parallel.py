@@ -338,3 +338,43 @@ def test_halo_hierarchical_gradients_match(rng):
     for kref, ksh in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sh)):
         np.testing.assert_allclose(np.asarray(ksh), np.asarray(kref),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_tp_matches_single_device():
+    """Tensor-parallel layout (hidden-dim sharded params) must train
+    identically to the replicated single-device step: same loss, same
+    params after one update."""
+    from hierarchicalgnn_tpu.parallel.tp import (
+        make_tp_mesh, make_tp_train_step)
+
+    hparams, model, pipeline = model_selector("EC-IN", TINY)
+    events = generate_dataset(2, seed=7, n_particles=12)
+    evs = [jax.tree.map(jnp.asarray, preprocess_event(e, hparams))
+           for e in events]
+    batch = stack_events(evs)
+
+    trainer = Trainer(hparams, model, pipeline, run_dir="/tmp/tp_test")
+    state = trainer.init_state(evs[0])
+    optimizer = make_optimizer(hparams, 4)
+
+    mesh = make_tp_mesh(data=2, model=4)
+    state_tp, step_tp = make_tp_train_step(
+        pipeline, optimizer, mesh, jax.tree.map(jnp.copy, state),
+        hidden=hparams["hidden"])
+    # params with a hidden-sized dim must actually be sharded
+    n_sharded = sum(
+        1 for leaf in jax.tree.leaves(state_tp.params)
+        if not leaf.sharding.is_fully_replicated)
+    assert n_sharded > 0, "TP rule sharded no parameters"
+    new_tp, m_tp = step_tp(state_tp, batch, 0)
+
+    mesh1 = make_mesh(data=1, graph=1)
+    step1 = make_dp_train_step(pipeline, optimizer, mesh1)
+    new_1, m_1 = step1(jax.tree.map(jnp.copy, state), batch, 0)
+
+    np.testing.assert_allclose(float(m_tp["training_loss"]),
+                               float(m_1["training_loss"]), rtol=1e-4)
+    for p_tp, p_1 in zip(jax.tree.leaves(new_tp.params),
+                         jax.tree.leaves(new_1.params)):
+        np.testing.assert_allclose(np.asarray(p_tp), np.asarray(p_1),
+                                   rtol=5e-4, atol=1e-5)
