@@ -17,6 +17,17 @@ row retires.  With eps below the value resolution the result matches the
 exact optimum; a fixed iteration cap bounds the loop (rows still
 unassigned at the cap take their virtual escape, i.e. count as unmatched
 -- a conservative truth label).
+
+Rounds are bounded by **eps-scaling** (Bertsekas): bidding starts at a
+coarse eps derived from the score range and shrinks it geometrically,
+carrying prices between phases (each phase restarts with every row
+unassigned).  Price wars between near-tie columns cost
+O(range/eps) rounds at fixed eps -- the warm-training regime (thousands
+of particles over similar mid-training scores) hit the round cap, ~80 ms
+per step -- while scaling resolves the same instance in a few rounds per
+phase.  The optimality bound is unchanged: it depends only on
+eps-complementary-slackness of the *final* assignment at the final eps,
+not on price history.
 """
 
 from __future__ import annotations
@@ -56,8 +67,15 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
     a = jnp.where(row_valid[:, None] & col_valid[None, :],
                   pair_scores.astype(jnp.float32), NEG)
 
-    def body(state):
-        prices, assign, _, it = state
+    eps_final = jnp.float32(eps)
+    # eps-scaling start: a quarter of the score range; shrink x8 per phase
+    amax = jnp.max(jnp.where(row_valid[:, None] & col_valid[None, :],
+                             pair_scores.astype(jnp.float32), 0.0))
+    eps0 = jnp.maximum(amax * 0.25, eps_final)
+    theta = jnp.float32(8.0)
+    unassigned_init = jnp.where(row_valid, -1, -2).astype(jnp.int32)
+
+    def bid_round(prices, assign, eps_cur, it):
         # assign: -1 unassigned, -2 virtual, >=0 candidate id
         unassigned = (assign == -1) & row_valid
 
@@ -69,11 +87,12 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
         v2 = jnp.max(jnp.where(
             jnp.arange(c)[None, :] == j1[:, None], NEG, net), axis=1)
 
-        # private virtual escape: no competition, prices never drop, so a
-        # virtual-best row retires permanently
+        # private virtual escape: no competition, prices never drop within
+        # a phase, so a virtual-best row sits out the rest of the phase
         take_virtual = unassigned & (VIRTUAL_VALUE >= v1)
         bid_rows = unassigned & jnp.logical_not(take_virtual)
-        bid_amount = prices[j1] + (v1 - jnp.maximum(v2, VIRTUAL_VALUE)) + eps
+        bid_amount = (prices[j1] + (v1 - jnp.maximum(v2, VIRTUAL_VALUE))
+                      + eps_cur)
 
         # column auction: highest bid wins; tie-break by row index
         bids = jnp.where(bid_rows, bid_amount, NEG)
@@ -94,18 +113,63 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
         new_assign = jnp.where(take_virtual, -2, new_assign)
         new_prices = prices.at[jnp.where(won, j1, 0)].max(
             jnp.where(won, bids, NEG))
+        return new_prices, new_assign, eps_cur, it + 1
 
-        still = jnp.any((new_assign == -1) & row_valid)
-        return new_prices, new_assign, still, it + 1
+    def next_phase(prices, assign, eps_cur, it):
+        # Phase done at eps_cur > eps_final: shrink eps and keep prices and
+        # assignments, except that (a) columns nobody owns get their price
+        # reset to zero and (b) rows violating the new
+        # eps-complementary-slackness (narrow winners) are unassigned --
+        # iterated to a fixpoint, since each unassignment vacates a column
+        # whose price reset can raise other rows' best alternative.  The
+        # fixpoint terminates: the unhappy set only grows.  Naive full
+        # reassignment instead strands contested columns -- the price
+        # overshoots by up to the coarse eps, the evicted owner flees to
+        # the fixed-price virtual escape, and the column's value is lost.
+        # The invariant restored here -- every positively-priced column is
+        # owned at termination (prices never fall inside a phase, and
+        # bidding transfers ownership atomically) -- is what the
+        # n*eps_final optimality bound needs.  Virtual rows stay retired
+        # within the cascade only if still justified: the reset can revive
+        # them, so they re-enter as unassigned when v1 > VIRTUAL.
+        eps_new = jnp.maximum(eps_cur / theta, eps_final)
+
+        def effective(assign):
+            owned = (jnp.zeros((c,), bool)
+                     .at[jnp.clip(assign, 0, c - 1)]
+                     .max(assign >= 0))
+            return jnp.where(owned, prices, 0.0)
+
+        def settle_body(state):
+            assign, _ = state
+            net = a - effective(assign)[None, :]
+            v1 = jnp.max(net, axis=1)
+            assigned = assign >= 0
+            cur = jnp.take_along_axis(
+                net, jnp.clip(assign, 0, c - 1)[:, None], axis=1)[:, 0]
+            unhappy = assigned & (cur < v1 - eps_new)
+            revived = (assign == -2) & row_valid & (v1 > VIRTUAL_VALUE)
+            new_assign = jnp.where(unhappy | revived, -1, assign)
+            return new_assign, jnp.any(new_assign != assign)
+
+        assign2, _ = jax.lax.while_loop(
+            lambda s: s[1], settle_body, (assign, jnp.asarray(True)))
+        return effective(assign2), assign2, eps_new, it + 1
+
+    def body(state):
+        prices, assign, eps_cur, it = state
+        unassigned_any = jnp.any((assign == -1) & row_valid)
+        return jax.lax.cond(unassigned_any, bid_round, next_phase,
+                            prices, assign, eps_cur, it)
 
     def cond(state):
-        _, _, active, it = state
-        return active & (it < max_iters)
+        _, assign, eps_cur, it = state
+        unassigned_any = jnp.any((assign == -1) & row_valid)
+        return (unassigned_any | (eps_cur > eps_final)) & (it < max_iters)
 
     prices0 = jnp.zeros((c,), jnp.float32)
-    assign0 = jnp.where(row_valid, -1, -2).astype(jnp.int32)
     prices, assign, _, _ = jax.lax.while_loop(
-        cond, body, (prices0, assign0, jnp.asarray(True), 0))
+        cond, body, (prices0, unassigned_init, eps0, 0))
 
     matched = (assign >= 0) & row_valid
     col_match = jnp.where(matched, assign, 0).astype(jnp.int32)

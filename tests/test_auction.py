@@ -81,3 +81,30 @@ def test_auction_in_bc_pipeline_on_device(rng):
                                    training=False)
     )(variables["params"], batch)
     assert np.isfinite(float(loss))
+
+
+def test_auction_near_tie_war_converges_within_cap(rng):
+    """Near-tie score wars (the warm-training regime) must resolve within
+    the shipped round cap.  At fixed eps=1e-4 a war over ~0.5-wide ties
+    needs thousands of rounds and the cap leaves rows unmatched; the
+    eps-scaling phases resolve it near-optimally in <256 rounds."""
+    p, c = 96, 24
+    p_max, c_max = p + 5, c + 3
+    scores = np.zeros((p_max, c_max), np.float32)
+    # every particle scores ~2.0 on 6 random candidates, ties broken at 1e-3
+    for i in range(p):
+        cols = rng.choice(c, size=6, replace=False)
+        scores[i, cols] = 2.0 + rng.uniform(-0.5, 0.5, 6) * 1e-3
+
+    col_match, matched = auction_match(jnp.asarray(scores), p, c,
+                                       eps=1e-4, max_iters=256)
+    col_match, matched = np.asarray(col_match), np.asarray(matched)
+
+    _, oracle_total = scipy_oracle(scores, p, c)
+    ours_total = sum(scores[i, col_match[i]] for i in range(p) if matched[i])
+    used = col_match[:p][matched[:p]]
+    assert len(used) == len(set(used.tolist()))
+    # all c candidates are contested by ~24 rows each: a near-optimal
+    # matching fills every candidate (objective ~= oracle, not ~half)
+    assert ours_total >= oracle_total - 1e-4 * p - 1e-6, (
+        ours_total, oracle_total)
