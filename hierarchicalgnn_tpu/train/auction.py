@@ -18,16 +18,23 @@ exact optimum; a fixed iteration cap bounds the loop (rows still
 unassigned at the cap take their virtual escape, i.e. count as unmatched
 -- a conservative truth label).
 
-Rounds are bounded by **eps-scaling** (Bertsekas): bidding starts at a
-coarse eps derived from the score range and shrinks it geometrically,
-carrying prices between phases (each phase restarts with every row
-unassigned).  Price wars between near-tie columns cost
-O(range/eps) rounds at fixed eps -- the warm-training regime (thousands
-of particles over similar mid-training scores) hit the round cap, ~80 ms
-per step -- while scaling resolves the same instance in a few rounds per
-phase.  The optimality bound is unchanged: it depends only on
-eps-complementary-slackness of the *final* assignment at the final eps,
-not on price history.
+Rounds are bounded by **eps-escalation**.  Measured on a real
+warm-training instance (P=3001 particles, C=2426 candidates, scores in
+[0, 41]): the auction drains all but ~5 rows within ~400 rounds, then the
+tail wars at eps granularity for thousands more (fixed eps=1e-4 needs
+4466 rounds to finish; the 256-round cap left 24 rows unmatched).
+Doubling eps every ``escalate_every`` rounds ends the tail wars while the
+bulk -- assigned early, at small eps -- keeps its tight
+eps-complementary-slackness: the same instance completes in 170 rounds
+with a 0.036% objective gap (vs 0.077% for the capped fixed-eps run, with
+rows left unmatched).  Downward eps-*scaling* (Bertsekas' classic scheme)
+is counterproductive here: the private fixed-price virtual escape anchors
+prices absolutely, so coarse phases strand overpriced columns and the
+repair machinery (price resets, revived rows) burns the round budget
+re-fighting fine-eps wars (measured 109 ms vs 80 ms per step).
+
+``escalate_every=0`` disables escalation and recovers the textbook
+n*eps optimality bound; tests use it to pin the exact-mode guarantee.
 """
 
 from __future__ import annotations
@@ -41,9 +48,10 @@ VIRTUAL_VALUE = 1e-12
 NEG = -1e30
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(jax.jit, static_argnames=("max_iters", "escalate_every",
+                                             "return_iters"))
 def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
-                  max_iters=256):
+                  max_iters=256, escalate_every=16, return_iters=False):
     """Maximum-weight matching of particles to candidates.
 
     pair_scores: [P, C] dense accumulated scores (padded entries ignored).
@@ -57,9 +65,10 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
     exit in a handful of rounds.  Rows whose only alternative is the
     virtual escape bid their full value, so single-column pile-ups (the
     early-training regime with one cluster and thousands of particles)
-    resolve in one round; only adversarial near-tie wars between real
-    columns approach the cap, and rows still unassigned there take the
-    conservative unmatched label.
+    resolve in one round; near-tie wars between real columns are ended by
+    doubling eps every ``escalate_every`` rounds (0 = never; see module
+    docstring), and rows still unassigned at the cap take the conservative
+    unmatched label.
     """
     p, c = pair_scores.shape
     row_valid = jnp.arange(p) < n_particles
@@ -67,15 +76,10 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
     a = jnp.where(row_valid[:, None] & col_valid[None, :],
                   pair_scores.astype(jnp.float32), NEG)
 
-    eps_final = jnp.float32(eps)
-    # eps-scaling start: a quarter of the score range; shrink x8 per phase
-    amax = jnp.max(jnp.where(row_valid[:, None] & col_valid[None, :],
-                             pair_scores.astype(jnp.float32), 0.0))
-    eps0 = jnp.maximum(amax * 0.25, eps_final)
-    theta = jnp.float32(8.0)
     unassigned_init = jnp.where(row_valid, -1, -2).astype(jnp.int32)
 
-    def bid_round(prices, assign, eps_cur, it):
+    def body(state):
+        prices, assign, eps_cur, _, it = state
         # assign: -1 unassigned, -2 virtual, >=0 candidate id
         unassigned = (assign == -1) & row_valid
 
@@ -87,8 +91,8 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
         v2 = jnp.max(jnp.where(
             jnp.arange(c)[None, :] == j1[:, None], NEG, net), axis=1)
 
-        # private virtual escape: no competition, prices never drop within
-        # a phase, so a virtual-best row sits out the rest of the phase
+        # private virtual escape: no competition, prices never drop, so a
+        # virtual-best row retires permanently
         take_virtual = unassigned & (VIRTUAL_VALUE >= v1)
         bid_rows = unassigned & jnp.logical_not(take_virtual)
         bid_amount = (prices[j1] + (v1 - jnp.maximum(v2, VIRTUAL_VALUE))
@@ -113,64 +117,25 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
         new_assign = jnp.where(take_virtual, -2, new_assign)
         new_prices = prices.at[jnp.where(won, j1, 0)].max(
             jnp.where(won, bids, NEG))
-        return new_prices, new_assign, eps_cur, it + 1
 
-    def next_phase(prices, assign, eps_cur, it):
-        # Phase done at eps_cur > eps_final: shrink eps and keep prices and
-        # assignments, except that (a) columns nobody owns get their price
-        # reset to zero and (b) rows violating the new
-        # eps-complementary-slackness (narrow winners) are unassigned --
-        # iterated to a fixpoint, since each unassignment vacates a column
-        # whose price reset can raise other rows' best alternative.  The
-        # fixpoint terminates: the unhappy set only grows.  Naive full
-        # reassignment instead strands contested columns -- the price
-        # overshoots by up to the coarse eps, the evicted owner flees to
-        # the fixed-price virtual escape, and the column's value is lost.
-        # The invariant restored here -- every positively-priced column is
-        # owned at termination (prices never fall inside a phase, and
-        # bidding transfers ownership atomically) -- is what the
-        # n*eps_final optimality bound needs.  Virtual rows stay retired
-        # within the cascade only if still justified: the reset can revive
-        # them, so they re-enter as unassigned when v1 > VIRTUAL.
-        eps_new = jnp.maximum(eps_cur / theta, eps_final)
-
-        def effective(assign):
-            owned = (jnp.zeros((c,), bool)
-                     .at[jnp.clip(assign, 0, c - 1)]
-                     .max(assign >= 0))
-            return jnp.where(owned, prices, 0.0)
-
-        def settle_body(state):
-            assign, _ = state
-            net = a - effective(assign)[None, :]
-            v1 = jnp.max(net, axis=1)
-            assigned = assign >= 0
-            cur = jnp.take_along_axis(
-                net, jnp.clip(assign, 0, c - 1)[:, None], axis=1)[:, 0]
-            unhappy = assigned & (cur < v1 - eps_new)
-            revived = (assign == -2) & row_valid & (v1 > VIRTUAL_VALUE)
-            new_assign = jnp.where(unhappy | revived, -1, assign)
-            return new_assign, jnp.any(new_assign != assign)
-
-        assign2, _ = jax.lax.while_loop(
-            lambda s: s[1], settle_body, (assign, jnp.asarray(True)))
-        return effective(assign2), assign2, eps_new, it + 1
-
-    def body(state):
-        prices, assign, eps_cur, it = state
-        unassigned_any = jnp.any((assign == -1) & row_valid)
-        return jax.lax.cond(unassigned_any, bid_round, next_phase,
-                            prices, assign, eps_cur, it)
+        if escalate_every:
+            eps_cur = jnp.where((it + 1) % escalate_every == 0,
+                                eps_cur * 2.0, eps_cur)
+        still = jnp.any((new_assign == -1) & row_valid)
+        return new_prices, new_assign, eps_cur, still, it + 1
 
     def cond(state):
-        _, assign, eps_cur, it = state
-        unassigned_any = jnp.any((assign == -1) & row_valid)
-        return (unassigned_any | (eps_cur > eps_final)) & (it < max_iters)
+        _, _, _, active, it = state
+        return active & (it < max_iters)
 
     prices0 = jnp.zeros((c,), jnp.float32)
-    prices, assign, _, _ = jax.lax.while_loop(
-        cond, body, (prices0, unassigned_init, eps0, 0))
+    prices, assign, _, _, it = jax.lax.while_loop(
+        cond, body, (prices0, unassigned_init, jnp.float32(eps),
+                     jnp.asarray(True), 0))
 
     matched = (assign >= 0) & row_valid
     col_match = jnp.where(matched, assign, 0).astype(jnp.int32)
+    if return_iters:
+        n_unassigned = jnp.sum((assign == -1) & row_valid)
+        return col_match, matched, it, n_unassigned
     return col_match, matched

@@ -199,6 +199,20 @@ def main():
     sc_scores = jax.lax.stop_gradient(scores)
     nc = jnp.int32(n_clusters_warm)
 
+    # dump the warm pair-score matrix for offline auction diagnosis
+    from hierarchicalgnn_tpu.ops.segment import segment_sum as _segsum
+    p_max = batch.particle_pid.shape[0]
+    c_max = hp["max_clusters"]
+    part_of_edge = batch.pid_compact[bgraph_w.senders]
+    flat = part_of_edge * c_max + bgraph_w.receivers
+    pair_scores = _segsum(
+        jnp.where(bgraph_w.edge_mask, sc_scores, 0.0), flat,
+        p_max * c_max).reshape(p_max, c_max)
+    np.savez("/tmp/warm_matching.npz", pair_scores=np.asarray(pair_scores),
+             n_particles=int(batch.n_particles),
+             n_clusters=n_clusters_warm)
+    print("dumped /tmp/warm_matching.npz", flush=True)
+
     def matching_op(k):
         def body(i, acc):
             truth, _, _, _ = match_particles_to_candidates(

@@ -36,8 +36,10 @@ def test_auction_matches_scipy_objective(rng, p, c, density):
     m = rng.random((p, c)) < density
     scores[:p, :c][m] = rng.uniform(0.1, 5.0, m.sum())
 
+    # escalate_every=0: exact mode, pins the textbook n*eps bound
     col_match, matched = auction_match(jnp.asarray(scores), p, c,
-                                       eps=1e-5, max_iters=2048)
+                                       eps=1e-5, max_iters=2048,
+                                       escalate_every=0)
     col_match, matched = np.asarray(col_match), np.asarray(matched)
 
     _, oracle_total = scipy_oracle(scores, p, c)
@@ -85,26 +87,31 @@ def test_auction_in_bc_pipeline_on_device(rng):
 
 def test_auction_near_tie_war_converges_within_cap(rng):
     """Near-tie score wars (the warm-training regime) must resolve within
-    the shipped round cap.  At fixed eps=1e-4 a war over ~0.5-wide ties
-    needs thousands of rounds and the cap leaves rows unmatched; the
-    eps-scaling phases resolve it near-optimally in <256 rounds."""
+    the shipped round cap.  At fixed eps a tie war burns the budget in
+    eps-granular bids and the cap leaves rows unmatched; the shipped
+    eps-escalation ends the war with every column filled and a tie-scale
+    objective gap."""
     p, c = 96, 24
     p_max, c_max = p + 5, c + 3
     scores = np.zeros((p_max, c_max), np.float32)
     # every particle scores ~2.0 on 6 random candidates, ties broken at 1e-3
+    tie = 1e-3
     for i in range(p):
         cols = rng.choice(c, size=6, replace=False)
-        scores[i, cols] = 2.0 + rng.uniform(-0.5, 0.5, 6) * 1e-3
+        scores[i, cols] = 2.0 + rng.uniform(-0.5, 0.5, 6) * tie
 
-    col_match, matched = auction_match(jnp.asarray(scores), p, c,
-                                       eps=1e-4, max_iters=256)
+    col_match, matched, iters, n_unassigned = auction_match(
+        jnp.asarray(scores), p, c, eps=1e-4, max_iters=256,
+        return_iters=True)
     col_match, matched = np.asarray(col_match), np.asarray(matched)
 
     _, oracle_total = scipy_oracle(scores, p, c)
     ours_total = sum(scores[i, col_match[i]] for i in range(p) if matched[i])
     used = col_match[:p][matched[:p]]
     assert len(used) == len(set(used.tolist()))
-    # all c candidates are contested by ~24 rows each: a near-optimal
-    # matching fills every candidate (objective ~= oracle, not ~half)
-    assert ours_total >= oracle_total - 1e-4 * p - 1e-6, (
+    assert int(n_unassigned) == 0 and int(iters) < 256
+    # all c candidates are contested by ~24 rows each: every candidate must
+    # be filled (len(used) == c), losing at most the tie spread per column
+    assert len(used) == c
+    assert ours_total >= oracle_total - c * tie - 1e-6, (
         ours_total, oracle_total)
