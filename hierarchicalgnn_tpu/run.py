@@ -69,7 +69,24 @@ def cmd_resume(args):
     hparams, model, pipeline, trainer = _build(args)
     events = _load_events(hparams, args)
     trainset, _, _ = trainer.make_datasets(events)
-    state, epoch = trainer.restore("last", trainset[0][1])
+    # prefer the newest checkpoint; fall back if e.g. a kill mid-save
+    # destroyed `last` (orbax leaves only a .tmp dir behind)
+    names = ["last", "autosave", "best"]
+    if args.checkpoint != "best":       # explicit --checkpoint wins
+        names = [args.checkpoint] + [n for n in names
+                                     if n != args.checkpoint]
+    for name in names:
+        try:
+            state, epoch = trainer.restore(name, trainset[0][1])
+            break
+        except FileNotFoundError:
+            continue
+    else:
+        raise FileNotFoundError(
+            f"no restorable checkpoint in {args.run_dir} (tried {names})")
+    if name != names[0]:
+        print(f"resume: checkpoint {names[0]!r} missing, using {name!r} "
+              f"(epoch {epoch})")
     trainer.fit(events, max_epochs=args.max_epochs, state=state,
                 start_epoch=epoch + 1)
 

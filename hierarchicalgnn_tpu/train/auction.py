@@ -49,9 +49,11 @@ NEG = -1e30
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "escalate_every",
-                                             "return_iters"))
+                                             "return_iters", "use_pallas",
+                                             "interpret"))
 def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
-                  max_iters=256, escalate_every=16, return_iters=False):
+                  max_iters=256, escalate_every=16, return_iters=False,
+                  use_pallas=None, interpret=False):
     """Maximum-weight matching of particles to candidates.
 
     pair_scores: [P, C] dense accumulated scores (padded entries ignored).
@@ -77,19 +79,27 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
                   pair_scores.astype(jnp.float32), NEG)
 
     unassigned_init = jnp.where(row_valid, -1, -2).astype(jnp.int32)
+    pallas_top2 = (use_pallas if use_pallas is not None
+                   else (interpret or jax.default_backend() == "tpu"))
 
     def body(state):
         prices, assign, eps_cur, _, it = state
         # assign: -1 unassigned, -2 virtual, >=0 candidate id
         unassigned = (assign == -1) & row_valid
 
-        net = a - prices[None, :]
-        v1 = jnp.max(net, axis=1)
-        j1 = jnp.argmax(net, axis=1).astype(jnp.int32)
-        # second-best via a fused masked reduction (the where re-derives
-        # from net inside the same fusion; nothing is written back to HBM)
-        v2 = jnp.max(jnp.where(
-            jnp.arange(c)[None, :] == j1[:, None], NEG, net), axis=1)
+        if pallas_top2:
+            # one HBM pass over [P, C] instead of XLA's 2-3
+            from hierarchicalgnn_tpu.ops.pallas.top2 import row_top2
+            v1, j1, v2 = row_top2(a, prices, interpret=interpret)
+        else:
+            net = a - prices[None, :]
+            v1 = jnp.max(net, axis=1)
+            j1 = jnp.argmax(net, axis=1).astype(jnp.int32)
+            # second-best via a fused masked reduction (the where
+            # re-derives from net inside the same fusion; nothing is
+            # written back to HBM)
+            v2 = jnp.max(jnp.where(
+                jnp.arange(c)[None, :] == j1[:, None], NEG, net), axis=1)
 
         # private virtual escape: no competition, prices never drop, so a
         # virtual-best row retires permanently

@@ -97,6 +97,20 @@ class Trainer:
     def _build_steps(self):
         pipeline = self.pipeline
         optimizer = self.optimizer
+        self._metric_names = None
+
+        def pack_metrics(metrics):
+            # One [K] f32 vector instead of K scalar outputs: the training
+            # loop reads metrics back every step, and on the tunneled TPU
+            # each scalar fetch is its own ~45 ms RPC -- 7 metrics cost
+            # 320 ms/step, 24x the 13 ms step itself.  Packing makes the
+            # whole step's telemetry a single readback.  Key order is
+            # captured at trace time (static across steps).
+            names = tuple(sorted(metrics))
+            if self._metric_names is None:
+                self._metric_names = names
+            return jnp.stack([jnp.asarray(metrics[k], jnp.float32).reshape(())
+                              for k in names])
 
         def train_step(state: TrainState, batch: Event, epoch):
             def loss_fn(params):
@@ -115,9 +129,16 @@ class Trainer:
             metrics = dict(metrics)
             metrics["grad_norm"] = jnp.sqrt(sum(
                 jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads)))
-            return new_state, metrics
+            return new_state, pack_metrics(metrics)
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._train_step_packed = jax.jit(train_step, donate_argnums=(0,))
+
+        def _train_step_dict(state, batch, epoch):
+            new_state, vec = self._train_step_packed(state, batch, epoch)
+            vals = np.asarray(vec)  # single readback
+            return new_state, dict(zip(self._metric_names, vals.tolist()))
+
+        self._train_step = _train_step_dict
 
         # --- gradient accumulation path (reference resume uses a
         # GradientAccumulationScheduler {0:1, 4:2, 8:4},
@@ -254,6 +275,10 @@ class Trainer:
 
     def _fit_epochs(self, state, trainset, valset, rng, start_epoch,
                     max_epochs, accum_for_epoch, best_track_eff):
+        # host-side step counter: int(state.step) per step is a blocking
+        # device readback (a full RPC round trip on the tunneled TPU)
+        step_i = int(state.step)
+        save_every = int(self.hparams.get("save_every_n_epochs") or 1)
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             order = rng.permutation(len(trainset))
@@ -262,7 +287,8 @@ class Trainer:
                 for i in order:
                     _, batch = trainset[i]
                     state, metrics = self._train_step(state, batch, epoch)
-                    self.logger.log(metrics, step=int(state.step), epoch=epoch)
+                    step_i += 1
+                    self.logger.log(metrics, step=step_i, epoch=epoch)
             else:
                 acc = None
                 since = 0
@@ -278,20 +304,26 @@ class Trainer:
                         avg = jax.tree.map(lambda g: g / k, acc)
                         state = self._apply_grads(state, avg, state.buffers)
                         acc, since = None, 0
-                        self.logger.log(metrics, step=int(state.step),
-                                        epoch=epoch)
+                        step_i += 1
+                        self.logger.log(metrics, step=step_i, epoch=epoch)
                 if since:  # flush the ragged tail
                     avg = jax.tree.map(lambda g: g / since, acc)
                     state = self._apply_grads(state, avg, state.buffers)
+                    step_i += 1
             epoch_time = time.time() - t0
 
             val_metrics = self.validate(state, valset, epoch)
             val_metrics["epoch_time"] = epoch_time
             val_metrics.update(self._phase_times(state, valset))
-            self.logger.log(val_metrics, step=int(state.step), epoch=epoch,
+            self.logger.log(val_metrics, step=step_i, epoch=epoch,
                             force_print=True)
 
-            self._save(state, "last", epoch)
+            # checkpointing is a full-state device->host fetch (~20 s over
+            # the tunnel); save_every_n_epochs trades resume granularity
+            # for epoch throughput.  The final epoch always saves.
+            if (epoch + 1 - start_epoch) % save_every == 0 \
+                    or epoch == max_epochs - 1:
+                self._save(state, "last", epoch)
             if val_metrics.get("track_eff", 0.0) >= best_track_eff:
                 best_track_eff = val_metrics.get("track_eff", 0.0)
                 self._save(state, "best", epoch)
@@ -345,6 +377,7 @@ class Trainer:
                 state = self.init_state(jax.tree.map(jnp.asarray, first))
             self._build_steps()
             best = -1.0
+            step_i = int(state.step)
             for epoch in range(max_epochs):
                 t0 = time.time()
                 for _ in range(steps_per_epoch):
@@ -352,11 +385,11 @@ class Trainer:
                     batch = jax.tree.map(
                         jnp.asarray, preprocess_event(raw, hp, rng=rng))
                     state, metrics = self._train_step(state, batch, epoch)
-                    self.logger.log(metrics, step=int(state.step),
-                                    epoch=epoch)
+                    step_i += 1
+                    self.logger.log(metrics, step=step_i, epoch=epoch)
                 val_metrics = self.validate(state, valset, epoch)
                 val_metrics["epoch_time"] = time.time() - t0
-                self.logger.log(val_metrics, step=int(state.step),
+                self.logger.log(val_metrics, step=step_i,
                                 epoch=epoch, force_print=True)
                 self._save(state, "last", epoch)
                 if val_metrics.get("track_eff", 0.0) >= best:
@@ -395,8 +428,12 @@ class Trainer:
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
             self._state_dict(template, 0))
         restored = ckpt_lib.restore_checkpoint(self.run_dir, name, abstract)
-        state = TrainState(params=restored["params"],
-                           buffers=restored["buffers"],
-                           opt_state=restored["opt_state"],
-                           step=jnp.asarray(restored["step"]))
+        # Orbax hands back host arrays; push them to device ONCE.  Left as
+        # numpy, every subsequent jitted step re-uploads the full state
+        # (measured 7.4 -> 95 s/epoch after a resume on the tunneled TPU).
+        state = jax.device_put(
+            TrainState(params=restored["params"],
+                       buffers=restored["buffers"],
+                       opt_state=restored["opt_state"],
+                       step=jnp.asarray(restored["step"])))
         return state, int(restored["epoch"])

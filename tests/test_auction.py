@@ -115,3 +115,42 @@ def test_auction_near_tie_war_converges_within_cap(rng):
     assert len(used) == c
     assert ours_total >= oracle_total - c * tie - 1e-6, (
         ours_total, oracle_total)
+
+
+def test_row_top2_kernel_matches_xla(rng):
+    """Pallas one-pass (v1, j1, v2) == XLA max/argmax/masked-remax,
+    including tie handling, odd shapes, and all-NEG rows."""
+    from hierarchicalgnn_tpu.ops.pallas.top2 import NEG, row_top2
+
+    for p, c in [(64, 96), (300, 700), (256, 512)]:
+        a = rng.normal(size=(p, c)).astype(np.float32)
+        a[rng.random((p, c)) < 0.3] = NEG          # sparse / masked slots
+        a[0] = NEG                                  # fully masked row
+        a[1, 5] = a[1, 17] = 3.0                    # exact tie
+        prices = np.abs(rng.normal(size=(c,))).astype(np.float32)
+
+        v1, j1, v2 = row_top2(jnp.asarray(a), jnp.asarray(prices),
+                              interpret=True)
+        net = a - prices[None, :]
+        ref_v1 = net.max(1)
+        ref_j1 = net.argmax(1)
+        ref_v2 = np.where(np.arange(c)[None, :] == ref_j1[:, None],
+                          -np.inf, net).max(1)
+        np.testing.assert_allclose(np.asarray(v1), ref_v1, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(j1), ref_j1)
+        np.testing.assert_allclose(np.asarray(v2), np.maximum(ref_v2, NEG),
+                                   rtol=1e-6, atol=1e30 * 1e-6)
+
+
+def test_auction_pallas_matches_plain(rng):
+    """auction_match with the Pallas top-2 round == the XLA round."""
+    p, c = 40, 30
+    scores = np.zeros((p + 3, c + 2), np.float32)
+    m = rng.random((p, c)) < 0.2
+    scores[:p, :c][m] = rng.uniform(0.1, 5.0, m.sum())
+    s = jnp.asarray(scores)
+
+    cm_a, mt_a = auction_match(s, p, c, use_pallas=True, interpret=True)
+    cm_b, mt_b = auction_match(s, p, c, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(cm_a), np.asarray(cm_b))
+    np.testing.assert_array_equal(np.asarray(mt_a), np.asarray(mt_b))
