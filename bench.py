@@ -71,6 +71,12 @@ def _timed_loop(op, *args, iters=ITERS):
 
 
 def bench_spmm(seed=0):
+    """Returns {f32, bf16, xla_f32} weighted-aggregation edges/s.
+
+    The headline value is the FRAMEWORK path (sorted-native fused kernel),
+    not min(framework, baseline) -- a kernel regression must show up in the
+    metric, not be masked by the fallback.
+    """
     from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
         build_sorted_plan, sorted_aggregate_weighted,
     )
@@ -105,17 +111,76 @@ def bench_spmm(seed=0):
 
     t_agg = _timed_loop(agg_op, data_sorted)
 
-    t_best = min(t_xla, t_agg)
-    return N_EDGES / t_best, N_EDGES / t_xla
+    # bf16 data path (the shipped BC fast operating point): edge features
+    # ride at half the HBM traffic; the kernel accumulates in f32.
+    data_bf16 = data_sorted.astype(jnp.bfloat16)
+    w_bf16 = w_sorted.astype(jnp.bfloat16)
+
+    def agg_op_bf16(i, d):
+        w = w_bf16 * (1.0 + i.astype(jnp.bfloat16) * 1e-3)
+        return sorted_aggregate_weighted(d, w, plan, interpret)[0, 0]
+
+    t_bf16 = _timed_loop(agg_op_bf16, data_bf16)
+
+    return {
+        "f32": N_EDGES / t_agg,
+        "bf16": N_EDGES / t_bf16,
+        "xla_f32": N_EDGES / t_xla,
+    }
+
+
+def bench_sddmm(seed=0):
+    """edge_cosine_likelihood throughput (the clustering SDDMM, reference
+    ``Modules/BipartiteClassification/Models/HGNN_GMM.py:188``) plus a
+    latent-width edge_dot (the dynamic-graph logits,
+    ``Modules/gnn_utils.py:208``)."""
+    from hierarchicalgnn_tpu.ops.sddmm import edge_cosine_likelihood, edge_dot
+
+    rng = np.random.default_rng(seed)
+    senders = jnp.asarray(rng.integers(0, N_NODES, N_EDGES).astype(np.int32))
+    receivers = jnp.asarray(rng.integers(0, N_NODES, N_EDGES).astype(np.int32))
+    mask = jnp.ones((N_EDGES,), bool)
+    emb = rng.normal(size=(N_NODES, 8)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    emb = jnp.asarray(emb)
+    feat = jnp.asarray(rng.normal(size=(N_NODES, DIM)), jnp.float32)
+
+    def cos_op(i, e):
+        out = edge_cosine_likelihood(
+            e * (1.0 + i.astype(jnp.float32) * 1e-6), senders, receivers,
+            mask=mask)
+        return out[0]
+
+    t_cos = _timed_loop(cos_op, emb)
+
+    def dot_op(i, f):
+        out = edge_dot(f * (1.0 + i.astype(jnp.float32) * 1e-6), f,
+                       senders, receivers, mask=mask)
+        return out[0]
+
+    t_dot = _timed_loop(dot_op, feat)
+    return {"cosine_emb8": N_EDGES / t_cos, f"dot_d{DIM}": N_EDGES / t_dot}
 
 
 def main():
-    edges_per_s, xla_edges_per_s = bench_spmm()
+    spmm = bench_spmm()
+    sddmm = bench_sddmm()
+    report = {
+        "spmm_edges_per_s": {k: round(v) for k, v in spmm.items()},
+        "sddmm_edges_per_s": {k: round(v) for k, v in sddmm.items()},
+        "shape": {"n_nodes": N_NODES, "n_edges": N_EDGES, "dim": DIM},
+        "backend": jax.default_backend(),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
     print(json.dumps({
         "metric": "spmm_edges_per_s_per_chip",
-        "value": round(edges_per_s),
+        "value": round(spmm["f32"]),          # framework path, NOT min()
         "unit": "edges/s",
-        "vs_baseline": round(edges_per_s / xla_edges_per_s, 4),
+        "vs_baseline": round(spmm["f32"] / spmm["xla_f32"], 4),
+        "bf16_edges_per_s": round(spmm["bf16"]),
+        "sddmm_cosine_edges_per_s": round(sddmm["cosine_emb8"]),
     }))
 
 

@@ -83,10 +83,16 @@ class InteractionGNNBlock(nn.Module):
     emb: bool = True
 
     @nn.compact
-    def __call__(self, x, graph: Graph, agg=None, gather=None):
+    def __call__(self, x, graph: Graph, agg=None, gather=None,
+                 encode_gather=None):
         """``graph`` may be a receiver-sorted work graph with ``agg`` its
         shared sorted aggregator (built at the model level so the
-        hierarchical block can reuse the same ordering)."""
+        hierarchical block can reuse the same ordering).
+
+        ``encode_gather``: endpoint feature gather for the edge encoder
+        input; defaults to direct indexing.  Under graph partitioning
+        (parallel/graph_shard.py) this is the halo gather -- senders live
+        on other devices."""
         cfg = self.cfg
         node_encoder = maybe_remat(MLP, cfg)(
             hidden_size=cfg.hidden, output_size=cfg.latent,
@@ -102,8 +108,11 @@ class InteractionGNNBlock(nn.Module):
             compute_dtype=cfg.compute_dtype)
 
         nodes = node_encoder(x)
-        edges = edge_encoder(
-            jnp.concatenate([x[graph.senders], x[graph.receivers]], -1))
+        if encode_gather is None:
+            x_src, x_dst = x[graph.senders], x[graph.receivers]
+        else:
+            x_src, x_dst = encode_gather(x)
+        edges = edge_encoder(jnp.concatenate([x_src, x_dst], -1))
         # bf16 data path: the node/edge residual streams, gathers, concats
         # and aggregations all run at half the HBM traffic; heads cast back.
         if cfg.compute_dtype:
@@ -206,11 +215,26 @@ class HierarchicalGNNBlock(nn.Module):
     @nn.compact
     def __call__(self, embeddings, nodes, edges, graph: Graph,
                  node_mask=None, training: bool = False, agg=None,
-                 gather=None, plan=None):
+                 gather=None, plan=None, shard=None):
+        """``shard``: a ``parallel.graph_shard.ShardTools`` when running
+        graph-partitioned inside shard_map.  Node-space inputs
+        (embeddings/nodes/node_mask) are then LOCAL row blocks and ``graph``
+        is the local receiver-partitioned edge slice; the pooled space
+        (clustering, GMM, means, dynamic graphs, supernode/superedge
+        updates) computes replicated from all-gathered embeddings.  The
+        module/param structure is identical either way, so checkpoints
+        interchange between the single-chip and partitioned paths."""
         cfg = self.cfg
         n = nodes.shape[0]
         if node_mask is None:
             node_mask = jnp.ones((n,), bool)
+        if shard is not None:
+            # global embedding/mask views for the replicated pooled space
+            emb_global = shard.all_gather(embeddings)
+            mask_global = shard.all_gather(node_mask)
+        else:
+            emb_global, mask_global = embeddings, node_mask
+        n_global = emb_global.shape[0]
 
         score_cut = self.variable(
             "buffers", "score_cut", lambda: jnp.full((1,), jnp.inf, jnp.float32))
@@ -234,12 +258,17 @@ class HierarchicalGNNBlock(nn.Module):
             "exp", k=cfg.bipartitegraph_sparsity, sym=False, norm=True,
             return_logits=True, knn_block_size=cfg.knn_block_size)
 
-        # --- pooling ---
-        clusters, n_clusters = self.clustering(
-            score_cut, embeddings, graph, node_mask, training, plan=plan)
+        # --- pooling (replicated across the graph axis when sharded) ---
+        if shard is not None:
+            clusters, n_clusters = self.clustering(
+                score_cut, emb_global, shard.full_graph, mask_global,
+                training, plan=None)
+        else:
+            clusters, n_clusters = self.clustering(
+                score_cut, embeddings, graph, node_mask, training, plan=plan)
         in_cluster = clusters >= 0
         seg = jnp.where(in_cluster, clusters, 0)
-        means = segment_mean(embeddings, seg, cfg.max_clusters, mask=in_cluster)
+        means = segment_mean(emb_global, seg, cfg.max_clusters, mask=in_cluster)
         means = l2_normalize(means)
         cluster_valid = jnp.arange(cfg.max_clusters) < n_clusters
         means = jnp.where(cluster_valid[:, None], means, 0.0)
@@ -249,7 +278,7 @@ class HierarchicalGNNBlock(nn.Module):
             means, means, training, src_mask=cluster_valid,
             dst_mask=cluster_valid)
         bipartite_graph, bipartite_weights, _ = bipartite_graph_construction(
-            embeddings, means, training, src_mask=node_mask,
+            emb_global, means, training, src_mask=mask_global,
             dst_mask=cluster_valid)
 
         # Shared aggregation plans for init + all hierarchical iterations.
@@ -257,7 +286,18 @@ class HierarchicalGNNBlock(nn.Module):
         # copy of the dynamic edge lists (structure + weights are fresh per
         # forward, so the sorts replace -- not add to -- data movement).
         gathers = None
-        if cfg.use_pallas:
+        if shard is not None:
+            # Shard-aware aggregation: local flat edges, contiguous local
+            # bipartite slice + one psum into the replicated supernode
+            # space, halo gather for the edge update.
+            from hierarchicalgnn_tpu.parallel.graph_shard import (
+                make_hier_shard_aggs)
+
+            aggs, gathers = make_hier_shard_aggs(
+                shard, bipartite_graph, bipartite_weights,
+                super_graph, super_weights, cfg.max_clusters,
+                cfg.bipartitegraph_sparsity)
+        elif cfg.use_pallas:
             from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
                 build_sorted_plan, build_transposed_plan,
                 gather_edge_endpoints, sorted_aggregate_weighted,
@@ -371,7 +411,7 @@ class GMRTEncoders(nn.Module):
     cfg: ArchConfig
 
     @nn.compact
-    def __call__(self, x, graph: Graph):
+    def __call__(self, x, graph: Graph, encode_gather=None):
         cfg = self.cfg
         node_encoder = maybe_remat(MatchDims, cfg)(
             output_size=cfg.latent, layer_norm=cfg.layernorm,
@@ -384,8 +424,11 @@ class GMRTEncoders(nn.Module):
             output_activation=None)
 
         nodes = node_encoder(x)
-        edges = edge_encoder(
-            jnp.concatenate([x[graph.senders], x[graph.receivers]], -1))
+        if encode_gather is None:
+            x_src, x_dst = x[graph.senders], x[graph.receivers]
+        else:
+            x_src, x_dst = encode_gather(x)
+        edges = edge_encoder(jnp.concatenate([x_src, x_dst], -1))
         embeddings = l2_normalize(output_layer(nodes).astype(jnp.float32))
         if cfg.compute_dtype:
             nodes = nodes.astype(cfg.compute_dtype)

@@ -1,0 +1,357 @@
+"""Graph-partitioned execution of the PRODUCTION models under shard_map.
+
+This is the halo path for the real model family (the round-1
+``parallel/halo.py`` proved the collective schedule on bespoke MLP stacks;
+here the same schedule drives ``models/cells.py`` and the shipped flax
+modules, so multi-chip training uses the exact parameters, buffers and
+numerics of the single-chip models).  Reference scope: the hot loops being
+partitioned are the reference's cell iterations
+(``/root/reference/Modules/gnn_utils.py:17-169``) -- the BASELINE north
+star's edge-partitioned full-detector-event scaling target.
+
+Partitioning scheme (one event across the mesh ``graph`` axis):
+
+  * **Node space row-blocked**: device d owns global node rows
+    ``[d*n_local, (d+1)*n_local)``.  Node-indexed arrays enter shard_map
+    with ``P('graph')`` on the node axis.
+  * **Flat edges receiver-partitioned**: every directed edge lives on the
+    device owning its receiver, so edge->node aggregation is purely local.
+    The partition is computed on device (replicated argsort by receiver +
+    slice) because the padded edge list is event-data, not static -- see
+    :func:`partition_edges`.  Per-device capacity is
+    ``ceil(E * slack / n_parts)`` (lane-aligned); an ``ok`` flag reports
+    overflow (edges dropped) instead of silently corrupting.
+  * **Halo**: sender-side node features are refreshed once per
+    message-passing iteration via ``lax.all_gather`` over the axis -- the
+    ring collective rides ICI.  (The Pallas bidirectional-ring RDMA gather
+    from ``ops/pallas/ring_gather.py`` drops in here; the XLA collective is
+    the default because it interprets everywhere.)
+  * **Supernode space replicated**: there are <= max_clusters supernodes
+    (tiny next to the node space), so clustering, GMM, dynamic graph
+    construction, supernode/superedge MLPs run identically on every device
+    from all-gathered embeddings.  The only supernode-direction collective
+    is one ``psum`` completing the bipartite node->supernode aggregation.
+  * **Bipartite edges sender-block contiguous**: kNN construction emits
+    ``senders = repeat(arange(N), k)`` (ops/knn.py:knn_to_edges), so device
+    d's bipartite edges are exactly the static slice
+    ``[d*n_local*k, (d+1)*n_local*k)`` -- no routing step needed.
+
+The cells stay untouched: all shard awareness is injected through their
+``agg``/``gather``/``aggs``/``gathers`` parameters, which is why the param
+tree (and therefore every checkpoint) is identical between the sharded and
+unsharded paths.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from hierarchicalgnn_tpu.ops.graph import Graph
+from hierarchicalgnn_tpu.ops.segment import segment_sum
+
+
+class SpmdSpec(NamedTuple):
+    """Static descriptor threading the mesh axis through the model forward."""
+
+    axis: str = "graph"
+    n_parts: int = 1
+    slack: float = 2.0      # per-device edge capacity head-room
+    use_pallas: bool = False
+
+
+class ShardTools(NamedTuple):
+    """Per-device handles built once per forward inside shard_map."""
+
+    spec: SpmdSpec
+    index: jnp.ndarray          # this device's position on the axis
+    n_local: int                # owned node rows
+    full_graph: Graph           # replicated full directed graph (global ids)
+    local_graph: Graph          # owned edges (senders/receivers GLOBAL ids)
+    slot: jnp.ndarray           # [E] global (device*e_cap+rank) slot per input edge
+    ok: jnp.ndarray             # no-overflow flag
+    agg: Callable               # local edge->node aggregator
+    gather: Callable            # halo endpoint gather: x_local -> (x[s], x[r])
+    all_gather: Callable        # x_local [n_local, ...] -> [N, ...] global
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def partition_edges(graph: Graph, num_nodes: int, spec: SpmdSpec):
+    """Receiver-partition a padded edge list into [n_parts, e_cap] buffers.
+
+    Runs replicated inside shard_map (O(E log E) argsort, trivial next to
+    the cell loops).  Sorting by receiver alone yields owner-grouped AND
+    receiver-sorted per-device edge lists, so the local aggregation can use
+    ``indices_are_sorted`` / sorted-native Pallas plans directly.
+
+    Returns (stacked Graph [n_parts, e_cap] with GLOBAL indices,
+    slot [E] int32 mapping each input edge to its global buffer slot,
+    ok flag).
+    """
+    e = graph.capacity
+    n_parts = spec.n_parts
+    # 512-aligned so per-shard Pallas plans need no internal repadding
+    # (ops/pallas/sorted_agg.py BLOCK_E)
+    e_cap = _round_up(max(int(e * spec.slack) // n_parts, 512), 512)
+    block = num_nodes // n_parts
+
+    big = jnp.int32(num_nodes)  # sorts padded edges past every owner
+    key = jnp.where(graph.edge_mask, graph.receivers, big)
+    order = jnp.argsort(key)
+    s_s = graph.senders[order]
+    r_s = graph.receivers[order]
+    m_s = graph.edge_mask[order]
+    owner = jnp.where(m_s, r_s // block, n_parts)
+
+    counts = segment_sum(jnp.ones((e,), jnp.int32), owner, n_parts + 1)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    rank = jnp.arange(e, dtype=jnp.int32) - starts[owner]
+    keep = m_s & (rank < e_cap)
+    ok = jnp.logical_not(jnp.any(m_s & (rank >= e_cap)))
+    dump = n_parts * e_cap
+    dest = jnp.where(keep, owner * e_cap + rank, dump)
+
+    buf = lambda vals, fill: jnp.full((n_parts * e_cap + 1,), fill,
+                                      vals.dtype).at[dest].set(
+                                          jnp.where(keep, vals, fill))
+    s_buf = buf(s_s, jnp.int32(0))[:-1].reshape(n_parts, e_cap)
+    r_buf = buf(r_s, jnp.int32(0))[:-1].reshape(n_parts, e_cap)
+    m_buf = buf(keep, False)[:-1].reshape(n_parts, e_cap)
+
+    # slot per INPUT edge (for reassembling edge-space outputs in input
+    # order): invert the sort permutation.
+    slot = jnp.zeros((e,), jnp.int32).at[order].set(
+        jnp.minimum(dest, dump - 1).astype(jnp.int32))
+    return Graph(s_buf, r_buf, m_buf), slot, ok
+
+
+def make_shard_tools(directed: Graph, n_local: int, spec: SpmdSpec) -> ShardTools:
+    """Build the per-device partition + aggregation/halo closures.
+
+    Call inside shard_map, after ``bidirectionalize``.  ``n_local`` is the
+    local node-row count (global N = n_local * n_parts).
+    """
+    axis = spec.axis
+    num_nodes = n_local * spec.n_parts
+    parts, slot, ok = partition_edges(directed, num_nodes, spec)
+    idx = jax.lax.axis_index(axis)
+    local = Graph(
+        jax.lax.dynamic_index_in_dim(parts.senders, idx, keepdims=False),
+        jax.lax.dynamic_index_in_dim(parts.receivers, idx, keepdims=False),
+        jax.lax.dynamic_index_in_dim(parts.edge_mask, idx, keepdims=False),
+    )
+    r_local = local.receivers - idx * n_local
+
+    def all_gather(x_local):
+        return jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+
+    if spec.use_pallas:
+        # Per-shard sorted-native plan: the local edges are already
+        # receiver-sorted by construction, so the plan's sort is the
+        # identity permutation and edge tensors stay aggregation-ready.
+        from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
+            build_sorted_plan, sorted_aggregate)
+
+        plan = build_sorted_plan(local.senders, r_local, local.edge_mask,
+                                 n_local)
+        interp = jax.default_backend() != "tpu"
+
+        def agg(data):
+            return sorted_aggregate(data, plan, interp)
+    else:
+        def agg(data):
+            return segment_sum(data, r_local, n_local, mask=local.edge_mask,
+                               indices_are_sorted=True)
+
+    def gather(x_local):
+        x_all = all_gather(x_local)
+        return x_all[local.senders], x_all[local.receivers]
+
+    return ShardTools(spec=spec, index=idx, n_local=n_local,
+                      full_graph=directed, local_graph=local, slot=slot,
+                      ok=ok, agg=agg, gather=gather, all_gather=all_gather)
+
+
+def bipartite_local_slice(shard: ShardTools, bgraph: Graph, weights, k: int):
+    """This device's contiguous bipartite edge block, node ids localized.
+
+    kNN bipartite edges are sender-block contiguous (senders =
+    repeat(arange(N), k)), so device d owns rows [d*n_local*k, (d+1)*n_local*k).
+    Returns (senders_local, supers_global, mask, weights) of the slice.
+    """
+    e_loc = shard.n_local * k
+    off = shard.index * e_loc
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, off, e_loc, 0)
+
+    senders_local = sl(bgraph.senders) - shard.index * shard.n_local
+    return senders_local, sl(bgraph.receivers), sl(bgraph.edge_mask), sl(weights)
+
+
+def make_hier_shard_aggs(shard: ShardTools, bgraph: Graph, bweights,
+                         sgraph: Graph, sweights, max_clusters: int, k: int):
+    """Shard-aware aggs/gathers for :class:`models.cells.HierarchicalGNNCell`.
+
+    Collective budget per hierarchical iteration: ONE psum([C, D]) completing
+    the bipartite node->supernode reduction + ONE all_gather([N, D]) halo for
+    the edge update -- everything else is local or replicated (survey §2.4
+    hard part: the 4-way node<->supernode traffic).
+    """
+    axis = shard.spec.axis
+    n_local = shard.n_local
+    b_send_l, b_sup_l, b_m_l, b_w_l = bipartite_local_slice(
+        shard, bgraph, bweights, k)
+    bw = jnp.where(b_m_l[:, None], b_w_l, 0.0)
+    sw = jnp.where(sgraph.edge_mask[:, None], sweights, 0.0)
+
+    aggs = {
+        "edge_to_node": shard.agg,
+        "bip_to_super": (
+            lambda d: jax.lax.psum(
+                segment_sum(d * bw, b_sup_l, max_clusters, mask=b_m_l), axis),
+            b_send_l),
+        "bip_to_node": (
+            lambda d: segment_sum(d * bw, b_send_l, n_local, mask=b_m_l),
+            b_sup_l),
+        "super_to_super": lambda d: segment_sum(
+            d * sw, sgraph.receivers, max_clusters, mask=sgraph.edge_mask),
+    }
+    gathers = {
+        "graph": shard.gather,
+        "super": lambda x: (x[sgraph.senders], x[sgraph.receivers]),
+    }
+    return aggs, gathers
+
+
+# ---------------------------------------------------------------------------
+# Trainer-usable sharded steps.
+# ---------------------------------------------------------------------------
+
+_NODE_SHARDED_FIELDS = ("x", "node_mask")
+
+
+def _model_out_specs(model_name: str, graph_axis, data_axis=None,
+                     batched=False):
+    """shard_map out_specs prefix tree for each model's forward outputs.
+
+    Node/edge-space outputs come back sharded over the graph axis (shard_map
+    reassembles the global array); supernode-space and aux outputs are
+    replicated across it.  ``batched``: outputs carry a leading event-batch
+    dim (sharded over ``data_axis`` when given).
+    """
+    g = graph_axis
+    lead = (data_axis,) if batched else ()
+    rep = P(*lead) if lead else P()
+    shd = P(*lead, g)
+    if model_name == "EC-IN":
+        return shd                          # scores [E]
+    if model_name == "Embedding-IN":
+        return shd                          # embeddings [N, emb]
+    if model_name == "Embedding-HGNN-GMM":
+        return (shd, shd, rep)              # emb, intermediate, aux
+    # BC-HGNN-GMM / gMRT: (bgraph, scores, intermediate, aux)
+    return (rep, shd, shd, rep)
+
+
+def make_sharded_train_step(pipeline, optimizer, mesh: Mesh, hparams: dict,
+                            data_axis: str = "data",
+                            graph_axis: str = "graph"):
+    """Jitted (state, batched_event [B,...], epoch) -> (state, metrics) with
+    the model forward graph-partitioned over ``graph_axis`` and events over
+    ``data_axis`` (B = mesh data size).
+
+    The forward runs inside shard_map (explicit halo/psum schedule above);
+    the loss -- including the bipartite matching truth -- runs replicated on
+    the reassembled global outputs, exactly the unsharded
+    ``pipeline.loss_from_outputs``.
+    """
+    from hierarchicalgnn_tpu.train.pipelines import MUTABLE
+    from hierarchicalgnn_tpu.train.trainer import TrainState
+
+    model = pipeline.model
+    name = hparams["model"]
+    n_parts = mesh.shape[graph_axis]
+    spec = SpmdSpec(axis=graph_axis, n_parts=n_parts,
+                    slack=float(hparams.get("halo_slack", 2.0)),
+                    use_pallas=bool(hparams.get("use_pallas", False)))
+    d_ax = data_axis if data_axis in mesh.shape else None
+
+    def per_event(params, buffers, x, node_mask, graph):
+        variables = {"params": params, **buffers}
+        out, new_vars = model.apply(
+            variables, x, graph, node_mask=node_mask, training=True,
+            mutable=MUTABLE, spmd=spec)
+        return out, dict(new_vars)
+
+    def body(params, buffers, x, node_mask, graph):
+        return jax.vmap(per_event, in_axes=(None, None, 0, 0, 0))(
+            params, buffers, x, node_mask, graph)
+
+    rep = P()
+    node_spec = P(d_ax, graph_axis)
+    ev_rep = P(d_ax)
+    fwd = shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, node_spec, node_spec, ev_rep),
+        out_specs=(_model_out_specs(name, graph_axis, d_ax, batched=True),
+                   ev_rep),
+        check_vma=False,
+    )
+
+    def batched_loss(params, buffers, batch, epoch):
+        out, new_buffers = fwd(params, buffers, batch.x, batch.node_mask,
+                               batch.graph)
+
+        def one(o, ev):
+            return pipeline.loss_from_outputs(o, ev, epoch)
+
+        losses, mets = jax.vmap(one)(out, batch)
+        new_buffers = jax.tree.map(lambda b: jnp.mean(b, axis=0), new_buffers)
+        metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), mets)
+        return jnp.mean(losses), (new_buffers, metrics)
+
+    def train_step(state: TrainState, batch, epoch):
+        (loss, (new_buffers, metrics)), grads = jax.value_and_grad(
+            batched_loss, has_aux=True)(state.params, state.buffers,
+                                        batch, epoch)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(params=new_params, buffers=new_buffers,
+                               opt_state=new_opt_state, step=state.step + 1)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_sharded_forward(pipeline, mesh: Mesh, hparams: dict,
+                         graph_axis: str = "graph"):
+    """Inference/validation forward under the graph partition (single event)."""
+    model = pipeline.model
+    name = hparams["model"]
+    spec = SpmdSpec(axis=graph_axis, n_parts=mesh.shape[graph_axis],
+                    slack=float(hparams.get("halo_slack", 2.0)),
+                    use_pallas=bool(hparams.get("use_pallas", False)))
+
+    def body(params, buffers, x, node_mask, graph):
+        variables = {"params": params, **buffers}
+        return model.apply(variables, x, graph, node_mask=node_mask,
+                           training=False, spmd=spec)
+
+    rep = P()
+    fwd = shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, P(graph_axis), P(graph_axis), rep),
+        out_specs=_model_out_specs(name, graph_axis),
+        check_vma=False,
+    )
+    return jax.jit(fwd)

@@ -120,9 +120,13 @@ def make_tp_train_step(pipeline, optimizer, mesh: Mesh, state: TrainState,
 
     sharded_state, state_sharding = shard_state(state, mesh, hidden)
     rep = NamedSharding(mesh, P())
+    # Batch rides the data axis (leading/event dim) so the data mesh axis
+    # actually splits work; callers may pass an unsharded batch and jit
+    # will lay it out.
+    batch_sharding = NamedSharding(mesh, P("data"))
     step = jax.jit(
         train_step,
-        in_shardings=(state_sharding, None, None),
+        in_shardings=(state_sharding, batch_sharding, None),
         out_shardings=(state_sharding, rep),
         donate_argnums=(0,),
     )

@@ -70,16 +70,18 @@ def cmd_resume(args):
     events = _load_events(hparams, args)
     trainset, _, _ = trainer.make_datasets(events)
     # prefer the newest checkpoint; fall back if e.g. a kill mid-save
-    # destroyed `last` (orbax leaves only a .tmp dir behind)
+    # destroyed `last` (orbax leaves only a .tmp dir behind, and restore
+    # of a half-written dir raises ValueError rather than FileNotFoundError)
     names = ["last", "autosave", "best"]
-    if args.checkpoint != "best":       # explicit --checkpoint wins
+    if args.checkpoint:                 # explicit --checkpoint wins
         names = [args.checkpoint] + [n for n in names
                                      if n != args.checkpoint]
     for name in names:
         try:
             state, epoch = trainer.restore(name, trainset[0][1])
             break
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError) as e:
+            print(f"resume: checkpoint {name!r} unusable ({e}); trying next")
             continue
     else:
         raise FileNotFoundError(
@@ -98,7 +100,7 @@ def cmd_test(args):
     hparams, model, pipeline, trainer = _build(args)
     events = _load_events(hparams, args)
     trainset, _, _ = trainer.make_datasets(events)
-    state, _ = trainer.restore(args.checkpoint, trainset[0][1])
+    state, _ = trainer.restore(args.checkpoint or "best", trainset[0][1])
     metrics = trainer.test(state, events)
     print(json.dumps(metrics))
 
@@ -121,7 +123,7 @@ def cmd_transfer(args):
                                                  _overrides(args))
     source = T(src_hp, src_model, src_pipe, run_dir=args.source_run,
                log_every_n_steps=0)
-    src_state, _ = source.restore(args.checkpoint, trainset[0][1])
+    src_state, _ = source.restore(args.checkpoint or "best", trainset[0][1])
 
     merged = transfer_params(state.params, src_state.params,
                              skip_prefixes=tuple(args.skip or []))
@@ -129,7 +131,20 @@ def cmd_transfer(args):
     trainer.fit(events, max_epochs=args.max_epochs, state=state)
 
 
+def _enable_compile_cache():
+    """Persistent compile cache: axon remote compiles run 40-1000+ s, and a
+    training run compiles several programs (train step, val forward, val
+    loss, probes).  Without the cache every CLI invocation pays all of them
+    again -- this is what starved the round-1 convergence runs."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
 def main(argv=None):
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="hierarchicalgnn_tpu.run")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (("train", cmd_train), ("resume", cmd_resume),
@@ -145,7 +160,9 @@ def main(argv=None):
                         help="hparam overrides (sweep configs)")
         sp.add_argument("--log-every-n-steps", type=int, default=50)
         sp.add_argument("--synthetic-particles", type=int, default=120)
-        sp.add_argument("--checkpoint", default="best")
+        # None (the default) means: resume tries last/autosave/best in
+        # order; test/transfer use "best".  An explicit value always wins.
+        sp.add_argument("--checkpoint", default=None)
         if name == "transfer":
             sp.add_argument("--source-run", required=True)
             sp.add_argument("--skip", action="append",

@@ -109,6 +109,13 @@ class Trainer:
             names = tuple(sorted(metrics))
             if self._metric_names is None:
                 self._metric_names = names
+            elif names != self._metric_names:
+                # a retrace (e.g. size-bucket shape change) must produce the
+                # same metric key set, or the dict(zip(...)) readback would
+                # silently mislabel values
+                raise RuntimeError(
+                    f"metric key set changed across traces: "
+                    f"{self._metric_names} -> {names}")
             return jnp.stack([jnp.asarray(metrics[k], jnp.float32).reshape(())
                               for k in names])
 
@@ -139,6 +146,33 @@ class Trainer:
             return new_state, dict(zip(self._metric_names, vals.tolist()))
 
         self._train_step = _train_step_dict
+
+        # Graph-partitioned training: when the config names a mesh with a
+        # graph axis, the train step runs the production model under the
+        # explicit shard_map halo schedule (parallel/graph_shard.py) --
+        # same params/buffers/checkpoints as the single-device path.
+        mesh_shape = self.hparams.get("mesh_shape")
+        if mesh_shape and int(mesh_shape.get("graph", 1)) > 1:
+            if int(mesh_shape.get("data", 1)) != 1:
+                raise ValueError(
+                    "Trainer iterates single events; use parallel/"
+                    "graph_shard.make_sharded_train_step directly for a "
+                    "combined data x graph mesh")
+            from hierarchicalgnn_tpu.parallel.graph_shard import (
+                make_sharded_train_step)
+            from hierarchicalgnn_tpu.parallel.mesh import make_mesh
+            from hierarchicalgnn_tpu.parallel.step import stack_events
+
+            mesh = make_mesh(**{k: int(v) for k, v in mesh_shape.items()})
+            sharded = make_sharded_train_step(pipeline, optimizer, mesh,
+                                              self.hparams)
+
+            def _sharded_step_dict(state, batch, epoch):
+                new_state, metrics = sharded(state, stack_events([batch]),
+                                             epoch)
+                return new_state, {k: float(v) for k, v in metrics.items()}
+
+            self._train_step = _sharded_step_dict
 
         # --- gradient accumulation path (reference resume uses a
         # GradientAccumulationScheduler {0:1, 4:2, 8:4},
@@ -215,6 +249,13 @@ class Trainer:
                 pt_cut=hp["ptcut"], nhits_cut=hp["n_hits"],
                 majority_cut=hp["majority_cut"], use_primary=False)
         except Exception:
+            # zero-metrics fallback (the reference bare-excepts here too,
+            # embedding_base.py:279-287) -- but log it so real eval bugs
+            # don't vanish silently
+            import traceback
+            print("evaluate_event failed, returning zero metrics:",
+                  flush=True)
+            traceback.print_exc()
             return dict(DEFAULT_RESPONSE)
 
     def validate(self, state: TrainState, valset, epoch: int):
@@ -259,17 +300,20 @@ class Trainer:
 
         rng = np.random.default_rng(shuffle_seed)
         best_track_eff = -1.0
+        self._cur_epoch = start_epoch
         try:
             state, best_track_eff = self._fit_epochs(
                 state, trainset, valset, rng, start_epoch, max_epochs,
                 accum_for_epoch, best_track_eff)
         except KeyboardInterrupt:
             # failure containment: persist an emergency checkpoint so the
-            # run is resumable (the reference relies on Lightning's last.ckpt)
-            self._save(state, "autosave", epoch=start_epoch)
+            # run is resumable (the reference relies on Lightning's
+            # last.ckpt).  _cur_epoch tracks the epoch actually in flight so
+            # the resume does not replay already-trained epochs.
+            self._save(state, "autosave", epoch=self._cur_epoch)
             raise
         except Exception:
-            self._save(state, "autosave", epoch=start_epoch)
+            self._save(state, "autosave", epoch=self._cur_epoch)
             raise
         return state
 
@@ -280,6 +324,7 @@ class Trainer:
         step_i = int(state.step)
         save_every = int(self.hparams.get("save_every_n_epochs") or 1)
         for epoch in range(start_epoch, max_epochs):
+            self._cur_epoch = epoch
             t0 = time.time()
             order = rng.permutation(len(trainset))
             k = accum_for_epoch(epoch)
@@ -314,7 +359,14 @@ class Trainer:
 
             val_metrics = self.validate(state, valset, epoch)
             val_metrics["epoch_time"] = epoch_time
-            val_metrics.update(self._phase_times(state, valset))
+            try:
+                val_metrics.update(self._phase_times(state, valset))
+            except Exception:
+                # phase probes are diagnostics -- a probe compile/run
+                # failure must not kill the training run
+                import traceback
+                print("phase-time probes failed (continuing):", flush=True)
+                traceback.print_exc()
             self.logger.log(val_metrics, step=step_i, epoch=epoch,
                             force_print=True)
 

@@ -1,0 +1,210 @@
+"""Graph-partitioned production models (parallel/graph_shard.py).
+
+The halo path must drive the SHIPPED flax modules -- same params, same
+numerics -- so every test compares against the unsharded pipeline loss /
+gradients directly (reference scope: the cell loops of
+``/root/reference/Modules/gnn_utils.py:17-169`` partitioned across devices,
+the BASELINE north-star scaling target).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from hierarchicalgnn_tpu.data.event import preprocess_event
+from hierarchicalgnn_tpu.data.synthetic import generate_dataset, generate_event
+from hierarchicalgnn_tpu.models.registry import model_selector
+from hierarchicalgnn_tpu.ops.graph import Graph
+from hierarchicalgnn_tpu.parallel import graph_shard as gs
+from hierarchicalgnn_tpu.parallel.mesh import make_mesh
+from hierarchicalgnn_tpu.parallel.step import stack_events
+from hierarchicalgnn_tpu.train.optim import make_optimizer
+from hierarchicalgnn_tpu.train.pipelines import MUTABLE
+from hierarchicalgnn_tpu.train.trainer import Trainer
+
+TINY = {
+    "n_nodes_max": 256,
+    "n_edges_max": 1024,
+    "max_clusters": 64,
+    "max_particles": 64,
+    "latent": 16,
+    "hidden_ratio": 2,
+    "n_interaction_graph_iters": 2,
+    "n_hierarchical_graph_iters": 2,
+    "knn": 5,
+    "knn_block_size": 128,
+    "gmm_iters": 10,
+    "train_split": [2, 1, 1],
+    "warmup": 2,
+}
+
+# The real BC-HGNN-GMM architecture (latent 256, 6+6 iterations; reference
+# Modules/BipartiteClassification/Configs/HGNN_GMM.yaml:31-67) at reduced
+# padding so the CPU-mesh test stays tractable.
+FLAGSHIP = {
+    "n_nodes_max": 2048,
+    "n_edges_max": 8192,
+    "max_clusters": 512,
+    "max_particles": 256,
+    "knn_block_size": 512,
+    "train_split": [2, 1, 1],
+}
+
+
+def _setup(name, overrides, n_particles=12, seed=3):
+    hparams, model, pipeline = model_selector(name, overrides)
+    raw = generate_event(np.random.default_rng(seed),
+                         n_particles=n_particles)
+    ev = jax.tree.map(jnp.asarray, preprocess_event(raw, hparams))
+    trainer = Trainer(hparams, model, pipeline, run_dir="/tmp/gs_test")
+    state = trainer.init_state(ev)
+    return hparams, model, pipeline, ev, state
+
+
+def _sharded_loss_fn(model, pipeline, hparams, mesh, state, ev,
+                     axis="graph"):
+    spec = gs.SpmdSpec(axis=axis, n_parts=mesh.shape[axis],
+                       slack=float(hparams.get("halo_slack", 2.0)))
+
+    def body(params, buffers, x, node_mask, graph):
+        variables = {"params": params, **buffers}
+        out, new_vars = model.apply(variables, x, graph,
+                                    node_mask=node_mask, training=True,
+                                    mutable=MUTABLE, spmd=spec)
+        return out, dict(new_vars)
+
+    fwd = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P()),
+        out_specs=(gs._model_out_specs(hparams["model"], axis), P()),
+        check_vma=False)
+
+    def loss_fn(params):
+        out, _ = fwd(params, state.buffers, ev.x, ev.node_mask, ev.graph)
+        loss, _ = pipeline.loss_from_outputs(out, ev, 0)
+        return loss
+
+    return loss_fn
+
+
+def _assert_grads_close(g_ref, g_test, rtol):
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_ref)[0],
+            jax.tree_util.tree_flatten_with_path(g_test)[0]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.max(np.abs(a)) + 1e-12
+        err = np.max(np.abs(a - b)) / scale
+        assert err < rtol, (jax.tree_util.keystr(kp), err)
+
+
+def test_partition_edges_exact():
+    """Every real edge lands in exactly its receiver-owner's buffer once,
+    receiver-sorted, and the slot map points back at it."""
+    rng = np.random.default_rng(0)
+    n, e, parts = 64, 512, 4
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    m = rng.random(e) < 0.8
+    g = Graph(jnp.asarray(s), jnp.asarray(r), jnp.asarray(m))
+    spec = gs.SpmdSpec(n_parts=parts, slack=4.0)
+    parts_g, slot, ok = jax.jit(
+        lambda g: gs.partition_edges(g, n, spec))(g)
+    assert bool(ok)
+    ps, pr, pm = map(np.asarray, parts_g)
+    e_cap = ps.shape[1]
+    block = n // parts
+    # each device's masked edges are owned and receiver-sorted
+    for d in range(parts):
+        rows = pr[d][pm[d]]
+        assert ((rows // block) == d).all()
+        assert (np.diff(rows) >= 0).all()
+    # multiset of (s, r) pairs preserved
+    got = sorted(zip(ps[pm], pr[pm]))
+    want = sorted(zip(s[m], r[m]))
+    assert got == want
+    # slot map: flat buffer at slot i holds edge i's endpoints
+    slot = np.asarray(slot)
+    flat_s, flat_r = ps.reshape(-1), pr.reshape(-1)
+    np.testing.assert_array_equal(flat_s[slot[m]], s[m])
+    np.testing.assert_array_equal(flat_r[slot[m]], r[m])
+
+
+@pytest.mark.parametrize("name", ["EC-IN", "BC-HGNN-GMM"])
+def test_sharded_matches_unsharded_grads(name):
+    """shard_map(graph=4) forward+backward == unsharded, tiny shapes."""
+    hparams, model, pipeline, ev, state = _setup(name, TINY)
+    mesh = make_mesh(data=1, graph=4)
+
+    def ref_loss(params):
+        loss, _ = pipeline.loss(params, state.buffers, ev, 0, training=True)
+        return loss
+
+    l0, g0 = jax.value_and_grad(ref_loss)(state.params)
+    loss_fn = _sharded_loss_fn(model, pipeline, hparams, mesh, state, ev)
+    l1, g1 = jax.value_and_grad(jax.jit(loss_fn))(state.params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    _assert_grads_close(g0, g1, rtol=1e-4)
+
+
+def test_sharded_bc_flagship_grads_match():
+    """The FLAGSHIP BC architecture (latent 256, 6 IN + 6 HGNN iterations)
+    under shard_map(graph=4) matches unsharded gradients -- the VERDICT r1
+    acceptance criterion for production graph parallelism."""
+    hparams, model, pipeline, ev, state = _setup(
+        "BC-HGNN-GMM", FLAGSHIP, n_particles=100, seed=0)
+    mesh = make_mesh(data=1, graph=4)
+
+    def ref_loss(params):
+        loss, _ = pipeline.loss(params, state.buffers, ev, 0, training=True)
+        return loss
+
+    l0, g0 = jax.value_and_grad(ref_loss)(state.params)
+    loss_fn = _sharded_loss_fn(model, pipeline, hparams, mesh, state, ev)
+    l1, g1 = jax.value_and_grad(jax.jit(loss_fn))(state.params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+    _assert_grads_close(g0, g1, rtol=1e-3)
+
+
+def test_sharded_train_step_data_and_graph():
+    """Combined event-DP x graph-partition step on a {data 2, graph 4} mesh."""
+    hparams, model, pipeline = model_selector("BC-HGNN-GMM", TINY)
+    events = generate_dataset(2, seed=7, n_particles=12)
+    evs = [jax.tree.map(jnp.asarray, preprocess_event(e, hparams))
+           for e in events]
+    batch = stack_events(evs)
+    trainer = Trainer(hparams, model, pipeline, run_dir="/tmp/gs_dp")
+    state = trainer.init_state(evs[0])
+    mesh = make_mesh(data=2, graph=4)
+    opt = make_optimizer(hparams, 2)
+    step = gs.make_sharded_train_step(pipeline, opt, mesh, hparams)
+    new_state, metrics = step(state, batch, 0)
+    assert np.isfinite(float(metrics["training_loss"]))
+    for leaf in jax.tree.leaves(new_state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_trainer_uses_sharded_step():
+    """mesh_shape in the config routes Trainer.fit through the halo step."""
+    hparams, model, pipeline = model_selector(
+        "EC-IN", {**TINY, "mesh_shape": {"data": 1, "graph": 4},
+                  "train_split": [2, 1, 1]})
+    events = generate_dataset(4, seed=11, n_particles=12)
+    trainer = Trainer(hparams, model, pipeline, run_dir="/tmp/gs_trainer",
+                      log_every_n_steps=0)
+    state = trainer.fit(events, max_epochs=1, num_sanity_val_steps=0)
+    assert int(state.step) == 2
+    for leaf in jax.tree.leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_sharded_embedding_hgnn_runs():
+    """The hierarchical embedding pipeline also runs under the partition."""
+    hparams, model, pipeline, ev, state = _setup("Embedding-HGNN-GMM", TINY)
+    mesh = make_mesh(data=1, graph=4)
+    loss_fn = _sharded_loss_fn(model, pipeline, hparams, mesh, state, ev)
+    loss = jax.jit(loss_fn)(state.params)
+    ref, _ = pipeline.loss(state.params, state.buffers, ev, 0, training=True)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
