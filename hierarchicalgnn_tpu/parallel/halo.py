@@ -14,6 +14,12 @@ RECEIVER.  Consequences, by construction:
 
 Implemented with ``shard_map`` so the collective schedule is explicit
 rather than left to the SPMD partitioner.  Parameters are replicated.
+
+NOTE: the PRODUCTION graph-parallel path lives in
+:mod:`parallel.graph_shard`, which runs the shipped flax models (cells,
+blocks, pooled space) under this same schedule.  This module keeps the
+minimal flat-IN demonstration used to validate the Pallas
+bidirectional-ring RDMA collective inside a message-passing loop.
 """
 
 from __future__ import annotations
@@ -149,189 +155,3 @@ def make_halo_flat_in(mlps, iterations):
         return nodes_local
 
     return apply
-
-
-# ---------------------------------------------------------------------------
-# Hierarchical cell under edge partitioning.
-#
-# The hierarchical iteration has 4-way traffic (survey hard part: node <->
-# supernode crossings both ways).  Design: nodes row-partitioned as in the
-# flat case; supernodes REPLICATED (there are <= max_clusters of them, tiny
-# next to the node space).  Consequences per iteration:
-#
-#   * bip node->super aggregation: each device segment-sums its local nodes'
-#     weighted features into the full supernode space, then one psum([C, D])
-#     completes it -- the only supernode-direction collective;
-#   * supernode + superedge updates: computed replicated on every device
-#     (psum makes the inputs identical, so the outputs stay identical);
-#   * bip super->node aggregation: supernodes are replicated, so the
-#     weighted gather + segment-sum into local nodes is purely local;
-#   * edge update: sender features via the same all_gather halo as the
-#     flat stack.
-# ---------------------------------------------------------------------------
-
-
-def partition_bipartite_by_node(b_nodes, b_supers, edge_mask, weights,
-                                num_nodes, n_parts):
-    """Host-side plan: device d owns bipartite edges whose NODE endpoint
-    falls in its row block.  Node indices are localized; supernode indices
-    stay global (supernodes are replicated).
-
-    Returns [P, E_cap] arrays (nodes_local, supers_global, mask, weights).
-    """
-    b_nodes = np.asarray(b_nodes)
-    b_supers = np.asarray(b_supers)
-    edge_mask = np.asarray(edge_mask)
-    weights = np.asarray(weights).reshape(-1)
-    if num_nodes % n_parts:
-        raise ValueError(f"num_nodes {num_nodes} not divisible by {n_parts}")
-    block = num_nodes // n_parts
-
-    owner = b_nodes // block
-    counts = [int(((owner == d) & edge_mask).sum()) for d in range(n_parts)]
-    e_cap = -(-max(max(counts), 1) // 128) * 128
-
-    n_out = np.zeros((n_parts, e_cap), np.int32)
-    s_out = np.zeros((n_parts, e_cap), np.int32)
-    m_out = np.zeros((n_parts, e_cap), bool)
-    w_out = np.zeros((n_parts, e_cap), np.float32)
-    for d in range(n_parts):
-        sel = (owner == d) & edge_mask
-        k = int(sel.sum())
-        n_out[d, :k] = b_nodes[sel] - d * block
-        s_out[d, :k] = b_supers[sel]
-        m_out[d, :k] = True
-        w_out[d, :k] = weights[sel]
-    return n_out, s_out, m_out, w_out
-
-
-def hierarchical_reference_step(params, mlps, nodes, edges, supernodes,
-                                superedges, graph, bipartite, super_graph,
-                                iterations):
-    """Unsharded oracle of the partitioned hierarchical iteration.
-
-    ``graph`` = (senders, receivers, edge_mask); ``bipartite`` =
-    (b_nodes, b_supers, b_mask, b_weights[E]); ``super_graph`` =
-    (s_senders, s_receivers, s_mask, s_weights[E]).  Update order matches
-    HierarchicalGNNCell (supernodes from old nodes, nodes from new
-    supernodes; reference gnn_utils.py:162-167).
-    """
-    node_net, edge_net, super_net, superedge_net = mlps
-    senders, receivers, edge_mask = graph
-    b_nodes, b_supers, b_mask, b_w = bipartite
-    s_s, s_r, s_mask, s_w = super_graph
-    n = nodes.shape[0]
-    c = supernodes.shape[0]
-    b_w = jnp.where(b_mask, b_w, 0.0)[:, None]
-    s_w = jnp.where(s_mask, s_w, 0.0)[:, None]
-
-    for _ in range(iterations):
-        node_msgs = segment_sum(nodes[b_nodes] * b_w, b_supers, c)
-        att_msgs = segment_sum(superedges * s_w, s_r, c, mask=s_mask)
-        new_supernodes = super_net.apply(
-            {"params": params["super_net"]},
-            jnp.concatenate([supernodes, att_msgs, node_msgs], -1)
-        ) + supernodes
-
-        super_msgs = segment_sum(new_supernodes[b_supers] * b_w, b_nodes, n)
-        edge_msgs = segment_sum(edges, receivers, n, mask=edge_mask)
-        new_nodes = node_net.apply(
-            {"params": params["node_net"]},
-            jnp.concatenate([nodes, edge_msgs, super_msgs], -1)) + nodes
-
-        new_superedges = superedge_net.apply(
-            {"params": params["superedge_net"]},
-            jnp.concatenate([new_supernodes[s_s], new_supernodes[s_r],
-                             superedges], -1)) + superedges
-        new_edges = edge_net.apply(
-            {"params": params["edge_net"]},
-            jnp.concatenate([new_nodes[senders], new_nodes[receivers],
-                             edges], -1)) + edges
-        nodes, edges = new_nodes, new_edges
-        supernodes, superedges = new_supernodes, new_superedges
-    return nodes, supernodes
-
-
-def make_halo_hierarchical(mlps, iterations, axis: str = "graph"):
-    """Per-device hierarchical iteration stack for shard_map.
-
-    Sharded inputs (leading dim over ``axis``): nodes_local, main-graph
-    edge features + (senders_global, receivers_local, edge_mask), bipartite
-    (b_nodes_local, b_supers_global, b_mask, b_weights).  Replicated:
-    supernodes, superedges, supergraph structure + weights.
-    """
-    node_net, edge_net, super_net, superedge_net = mlps
-
-    def apply(params, nodes_local, edges, senders, receivers_local,
-              edge_mask, bn_local, bs_global, b_mask, b_w,
-              s_s, s_r, s_mask, s_w, supernodes, superedges):
-        n_local = nodes_local.shape[0]
-        c = supernodes.shape[0]
-        idx = jax.lax.axis_index(axis)
-        bw = jnp.where(b_mask, b_w, 0.0)[:, None]
-        sw = jnp.where(s_mask, s_w, 0.0)[:, None]
-
-        for _ in range(iterations):
-            # --- supernode update from OLD nodes: local partial + psum ---
-            partial = segment_sum(nodes_local[bn_local] * bw, bs_global, c)
-            node_msgs = jax.lax.psum(partial, axis)
-            att_msgs = segment_sum(superedges * sw, s_r, c, mask=s_mask)
-            new_supernodes = super_net.apply(
-                {"params": params["super_net"]},
-                jnp.concatenate([supernodes, att_msgs, node_msgs], -1)
-            ) + supernodes
-
-            # --- node update from NEW supernodes: purely local ---
-            super_msgs = segment_sum(
-                new_supernodes[bs_global] * bw, bn_local, n_local)
-            edge_msgs = segment_sum(edges, receivers_local, n_local,
-                                    mask=edge_mask)
-            new_nodes = node_net.apply(
-                {"params": params["node_net"]},
-                jnp.concatenate([nodes_local, edge_msgs, super_msgs], -1)
-            ) + nodes_local
-
-            # --- superedge update: replicated compute ---
-            new_superedges = superedge_net.apply(
-                {"params": params["superedge_net"]},
-                jnp.concatenate([new_supernodes[s_s], new_supernodes[s_r],
-                                 superedges], -1)) + superedges
-
-            # --- edge update: all_gather halo for endpoint features ---
-            all_nodes = jax.lax.all_gather(new_nodes, axis, axis=0,
-                                           tiled=True)
-            recv_global = receivers_local + idx * n_local
-            new_edges = edge_net.apply(
-                {"params": params["edge_net"]},
-                jnp.concatenate([all_nodes[senders], all_nodes[recv_global],
-                                 edges], -1)) + edges
-
-            nodes_local, edges = new_nodes, new_edges
-            supernodes, superedges = new_supernodes, new_superedges
-        return nodes_local, supernodes
-
-    return apply
-
-
-def make_halo_hierarchical_forward(per_device, mesh: Mesh,
-                                   axis: str = "graph"):
-    """shard_map wrapper for :func:`make_halo_hierarchical`.
-
-    Per-device bipartite/edge arrays are passed as flattened [P*E_cap]
-    stacks sharded over ``axis``; supernode-space inputs are replicated.
-    The supernode output is identical on every device (psum-derived), so it
-    is returned replicated.
-    """
-    sharded = P(axis)
-    rep = P()
-    return shard_map(
-        per_device, mesh=mesh,
-        in_specs=(rep,                      # params
-                  sharded, sharded,         # nodes_local, edges
-                  sharded, sharded, sharded,  # senders, recv_local, mask
-                  sharded, sharded, sharded, sharded,  # bipartite
-                  rep, rep, rep, rep,       # supergraph
-                  rep, rep),                # supernodes, superedges
-        out_specs=(sharded, rep),
-        check_vma=False,
-    )

@@ -18,20 +18,28 @@ exact optimum; a fixed iteration cap bounds the loop (rows still
 unassigned at the cap take their virtual escape, i.e. count as unmatched
 -- a conservative truth label).
 
-Rounds are bounded by **eps-escalation**.  Measured on a real
-warm-training instance (P=3001 particles, C=2426 candidates, scores in
-[0, 41]): the auction drains all but ~5 rows within ~400 rounds, then the
-tail wars at eps granularity for thousands more (fixed eps=1e-4 needs
-4466 rounds to finish; the 256-round cap left 24 rows unmatched).
-Doubling eps every ``escalate_every`` rounds ends the tail wars while the
-bulk -- assigned early, at small eps -- keeps its tight
-eps-complementary-slackness: the same instance completes in 170 rounds
-with a 0.036% objective gap (vs 0.077% for the capped fixed-eps run, with
-rows left unmatched).  Downward eps-*scaling* (Bertsekas' classic scheme)
-is counterproductive here: the private fixed-price virtual escape anchors
-prices absolutely, so coarse phases strand overpriced columns and the
-repair machinery (price resets, revived rows) burns the round budget
-re-fighting fine-eps wars (measured 109 ms vs 80 ms per step).
+Two mechanisms keep the optimality gap small AND the rounds bounded:
+
+* **Data-scaled eps** (``eps=None`` default): the bid increment is
+  ``1e-3 x mean positive row-max``, so the textbook ``n*eps``
+  complementary-slackness gap is ~0.1% of the objective whatever the
+  score magnitude.  A fixed eps is either sloppy (scores tiny) or slow
+  (scores large): on a real warm instance (P=3001, C=2426, scores to 41)
+  fixed eps=1e-4 needed 4466 rounds and a 256-round cap left 24 rows
+  unmatched.
+
+* **Progress-aware eps-escalation**: eps doubles only after
+  ``escalate_every`` consecutive rounds in which the unassigned-row count
+  made no new low -- a pure war-breaker of last resort.  Eager time-based
+  escalation (doubling every 16 rounds regardless of progress) was
+  measured to inflate the gap to 0.9-1.4% on small late-training
+  instances where the endgame is one long price war; with patience 256
+  the measured gaps are 0.000% (tiny late-training matrix), 0.002%
+  (warm flagship, 633 rounds), 0.044% (adversarial near-tie 200x150).
+  Downward eps-*scaling* (Bertsekas' classic scheme) is counterproductive
+  here: the private fixed-price virtual escape anchors prices absolutely,
+  so coarse phases strand overpriced columns and the repair machinery
+  burns the round budget re-fighting fine-eps wars.
 
 ``escalate_every=0`` disables escalation and recovers the textbook
 n*eps optimality bound; tests use it to pin the exact-mode guarantee.
@@ -51,14 +59,22 @@ NEG = -1e30
 @functools.partial(jax.jit, static_argnames=("max_iters", "escalate_every",
                                              "return_iters", "use_pallas",
                                              "interpret"))
-def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
-                  max_iters=256, escalate_every=16, return_iters=False,
+def auction_match(pair_scores, n_particles, n_clusters, eps=None,
+                  max_iters=2048, escalate_every=256, return_iters=False,
                   use_pallas=None, interpret=False):
     """Maximum-weight matching of particles to candidates.
 
     pair_scores: [P, C] dense accumulated scores (padded entries ignored).
     Returns (col_match int32[P], matched bool[P]): ``matched`` is False for
     padded rows and rows that took their virtual escape.
+
+    ``eps=None`` (default) scales the bid increment to the data:
+    ``1e-3 * mean positive row-max``, which bounds the pre-escalation
+    optimality gap at ~0.1% of the objective (n*eps complementary
+    slackness) regardless of the score magnitude -- a fixed eps is either
+    sloppy (scores tiny) or slow (scores large).  Measured on the warm
+    flagship instance (P=3001, C=2426, scores to 41): 0.002-0.010% gap vs
+    the scipy exact optimum.
 
     Best/second-best per row come from fused max reductions over
     ``a - prices`` (no materialized [P, C] temporaries -- ``lax.top_k`` and
@@ -67,10 +83,13 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
     exit in a handful of rounds.  Rows whose only alternative is the
     virtual escape bid their full value, so single-column pile-ups (the
     early-training regime with one cluster and thousands of particles)
-    resolve in one round; near-tie wars between real columns are ended by
-    doubling eps every ``escalate_every`` rounds (0 = never; see module
-    docstring), and rows still unassigned at the cap take the conservative
-    unmatched label.
+    resolve in one round.  Near-tie wars between real columns are ended by
+    doubling eps, but escalation is PROGRESS-AWARE: eps doubles only after
+    ``escalate_every`` consecutive rounds in which the unassigned-row count
+    made no new low (0 = never escalate) -- while rows keep draining, the
+    tight eps (and its gap bound) is preserved; only genuine price wars pay
+    the escalation slack.  Rows still unassigned at the cap take the
+    conservative unmatched label.
     """
     p, c = pair_scores.shape
     row_valid = jnp.arange(p) < n_particles
@@ -78,12 +97,19 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
     a = jnp.where(row_valid[:, None] & col_valid[None, :],
                   pair_scores.astype(jnp.float32), NEG)
 
+    if eps is None:
+        row_max = jnp.max(a, axis=1)
+        pos = row_max > 0
+        eps = 1e-3 * jnp.sum(jnp.where(pos, row_max, 0.0)) \
+            / jnp.maximum(jnp.sum(pos), 1)
+        eps = jnp.maximum(eps, 1e-6)
+
     unassigned_init = jnp.where(row_valid, -1, -2).astype(jnp.int32)
     pallas_top2 = (use_pallas if use_pallas is not None
                    else (interpret or jax.default_backend() == "tpu"))
 
     def body(state):
-        prices, assign, eps_cur, _, it = state
+        prices, assign, eps_cur, _, it, best_cnt, stuck = state
         # assign: -1 unassigned, -2 virtual, >=0 candidate id
         unassigned = (assign == -1) & row_valid
 
@@ -128,20 +154,26 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=1e-4,
         new_prices = prices.at[jnp.where(won, j1, 0)].max(
             jnp.where(won, bids, NEG))
 
+        n_unassigned = jnp.sum((new_assign == -1) & row_valid)
         if escalate_every:
-            eps_cur = jnp.where((it + 1) % escalate_every == 0,
-                                eps_cur * 2.0, eps_cur)
-        still = jnp.any((new_assign == -1) & row_valid)
-        return new_prices, new_assign, eps_cur, still, it + 1
+            improved = n_unassigned < best_cnt
+            stuck = jnp.where(improved, 0, stuck + 1)
+            best_cnt = jnp.minimum(best_cnt, n_unassigned)
+            escalate = stuck >= escalate_every
+            eps_cur = jnp.where(escalate, eps_cur * 2.0, eps_cur)
+            stuck = jnp.where(escalate, 0, stuck)
+        still = n_unassigned > 0
+        return new_prices, new_assign, eps_cur, still, it + 1, best_cnt, stuck
 
     def cond(state):
-        _, _, _, active, it = state
+        _, _, _, active, it, _, _ = state
         return active & (it < max_iters)
 
     prices0 = jnp.zeros((c,), jnp.float32)
-    prices, assign, _, _, it = jax.lax.while_loop(
-        cond, body, (prices0, unassigned_init, jnp.float32(eps),
-                     jnp.asarray(True), 0))
+    prices, assign, _, _, it, _, _ = jax.lax.while_loop(
+        cond, body, (prices0, unassigned_init, jnp.asarray(eps, jnp.float32),
+                     jnp.asarray(True), 0, jnp.asarray(p, jnp.int32),
+                     jnp.asarray(0, jnp.int32)))
 
     matched = (assign >= 0) & row_valid
     col_match = jnp.where(matched, assign, 0).astype(jnp.int32)

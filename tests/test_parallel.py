@@ -146,11 +146,12 @@ def test_halo_partitioned_flat_in_matches_unsharded(rng, rdma):
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("rdma", [False, True],
-                         ids=["all_gather", "rdma_ring"])
+@pytest.mark.parametrize("rdma", [True], ids=["rdma_ring"])
 def test_halo_gradients_match_unsharded(rng, rdma):
-    """Param gradients through the shard_map halo forward == unsharded.
-    The RDMA ring variant exercises the custom VJP (psum_scatter)."""
+    """Param gradients through the shard_map halo forward == unsharded;
+    exercises the RDMA ring collective's custom VJP (psum_scatter).  The
+    XLA all_gather halo gradients are covered at production scope by
+    tests/test_graph_shard.py."""
     from hierarchicalgnn_tpu.models.mlp import MLP
     from hierarchicalgnn_tpu.parallel import halo
 
@@ -193,150 +194,6 @@ def test_halo_gradients_match_unsharded(rng, rdma):
     g_ref = jax.grad(loss_ref)(params)
     for a, b in zip(jax.tree.leaves(g_halo), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=5e-4)
-
-
-def _hier_setup(rng, n_nodes=64, latent=16, n_edges=200, n_super=12,
-                b_k=3, s_edges=40):
-    from hierarchicalgnn_tpu.models.mlp import MLP
-
-    x_nodes = rng.normal(size=(n_nodes, latent)).astype(np.float32)
-    x_edges = rng.normal(size=(n_edges, latent)).astype(np.float32)
-    supernodes = rng.normal(size=(n_super, latent)).astype(np.float32)
-    superedges = rng.normal(size=(s_edges, latent)).astype(np.float32)
-
-    senders = rng.integers(0, n_nodes, n_edges).astype(np.int32)
-    receivers = rng.integers(0, n_nodes, n_edges).astype(np.int32)
-    emask = np.ones(n_edges, bool)
-
-    b_nodes = np.repeat(np.arange(n_nodes), b_k).astype(np.int32)
-    b_supers = rng.integers(0, n_super, n_nodes * b_k).astype(np.int32)
-    b_mask = rng.random(n_nodes * b_k) < 0.9
-    b_w = rng.random(n_nodes * b_k).astype(np.float32)
-
-    s_s = rng.integers(0, n_super, s_edges).astype(np.int32)
-    s_r = rng.integers(0, n_super, s_edges).astype(np.int32)
-    s_mask = np.ones(s_edges, bool)
-    s_w = rng.random(s_edges).astype(np.float32)
-
-    mlps = (
-        MLP(hidden_size=32, output_size=latent, hidden_layers=2,
-            layer_norm=True),                                   # node
-        MLP(hidden_size=32, output_size=latent, hidden_layers=2,
-            output_activation="Tanh", layer_norm=True),         # edge
-        MLP(hidden_size=32, output_size=latent, hidden_layers=2,
-            layer_norm=True),                                   # super
-        MLP(hidden_size=32, output_size=latent, hidden_layers=2,
-            output_activation="Tanh", layer_norm=True),         # superedge
-    )
-    key = jax.random.key(1)
-    params = {
-        "node_net": mlps[0].init(key, jnp.zeros((1, 3 * latent)))["params"],
-        "edge_net": mlps[1].init(key, jnp.zeros((1, 3 * latent)))["params"],
-        "super_net": mlps[2].init(key, jnp.zeros((1, 3 * latent)))["params"],
-        "superedge_net": mlps[3].init(
-            key, jnp.zeros((1, 3 * latent)))["params"],
-    }
-    arrays = dict(x_nodes=x_nodes, x_edges=x_edges, supernodes=supernodes,
-                  superedges=superedges, senders=senders, receivers=receivers,
-                  emask=emask, b_nodes=b_nodes, b_supers=b_supers,
-                  b_mask=b_mask, b_w=b_w, s_s=s_s, s_r=s_r, s_mask=s_mask,
-                  s_w=s_w)
-    return mlps, params, arrays
-
-
-def _run_hier_halo(mlps, params, a, n_parts, iterations):
-    """(sharded fwd) -> (nodes, supernodes) on an n_parts graph mesh."""
-    from hierarchicalgnn_tpu.parallel import halo
-
-    n_nodes = a["x_nodes"].shape[0]
-    s_p, r_p, m_p = halo.partition_edges_by_receiver(
-        a["senders"], a["receivers"], a["emask"], n_nodes, n_parts)
-    # edge features must follow their edges into the per-device layout
-    e_cap = s_p.shape[1]
-    e_feat = np.zeros((n_parts, e_cap, a["x_edges"].shape[1]), np.float32)
-    block = n_nodes // n_parts
-    owner = a["receivers"] // block
-    for d in range(n_parts):
-        sel = (owner == d) & a["emask"]
-        e_feat[d, : sel.sum()] = a["x_edges"][sel]
-
-    bn_p, bs_p, bm_p, bw_p = halo.partition_bipartite_by_node(
-        a["b_nodes"], a["b_supers"], a["b_mask"], a["b_w"], n_nodes, n_parts)
-
-    mesh = make_mesh(data=1, graph=n_parts)
-    mesh1 = jax.sharding.Mesh(np.asarray(mesh.devices).reshape(-1),
-                              ("graph",))
-    fwd = halo.make_halo_hierarchical_forward(
-        halo.make_halo_hierarchical(mlps, iterations), mesh1)
-
-    def call(params):
-        return fwd(params, jnp.asarray(a["x_nodes"]),
-                   jnp.asarray(e_feat.reshape(-1, e_feat.shape[-1])),
-                   jnp.asarray(s_p.reshape(-1)), jnp.asarray(r_p.reshape(-1)),
-                   jnp.asarray(m_p.reshape(-1)),
-                   jnp.asarray(bn_p.reshape(-1)), jnp.asarray(bs_p.reshape(-1)),
-                   jnp.asarray(bm_p.reshape(-1)), jnp.asarray(bw_p.reshape(-1)),
-                   jnp.asarray(a["s_s"]), jnp.asarray(a["s_r"]),
-                   jnp.asarray(a["s_mask"]), jnp.asarray(a["s_w"]),
-                   jnp.asarray(a["supernodes"]), jnp.asarray(a["superedges"]))
-
-    return call
-
-
-def test_halo_hierarchical_matches_unsharded(rng):
-    """4-way hierarchical traffic under partitioning == unsharded oracle."""
-    from hierarchicalgnn_tpu.parallel import halo
-
-    mlps, params, a = _hier_setup(rng)
-    nodes_ref, supers_ref = halo.hierarchical_reference_step(
-        params, mlps, jnp.asarray(a["x_nodes"]), jnp.asarray(a["x_edges"]),
-        jnp.asarray(a["supernodes"]), jnp.asarray(a["superedges"]),
-        (jnp.asarray(a["senders"]), jnp.asarray(a["receivers"]),
-         jnp.asarray(a["emask"])),
-        (jnp.asarray(a["b_nodes"]), jnp.asarray(a["b_supers"]),
-         jnp.asarray(a["b_mask"]), jnp.asarray(a["b_w"])),
-        (jnp.asarray(a["s_s"]), jnp.asarray(a["s_r"]),
-         jnp.asarray(a["s_mask"]), jnp.asarray(a["s_w"])),
-        iterations=2)
-
-    call = _run_hier_halo(mlps, params, a, n_parts=4, iterations=2)
-    nodes_out, supers_out = call(params)
-    np.testing.assert_allclose(np.asarray(nodes_out), np.asarray(nodes_ref),
-                               rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(supers_out), np.asarray(supers_ref),
-                               rtol=2e-4, atol=2e-4)
-
-
-def test_halo_hierarchical_gradients_match(rng):
-    """Training grads through the partitioned hierarchical stack == oracle."""
-    from hierarchicalgnn_tpu.parallel import halo
-
-    mlps, params, a = _hier_setup(rng)
-
-    def loss_ref(p):
-        nodes, supers = halo.hierarchical_reference_step(
-            p, mlps, jnp.asarray(a["x_nodes"]), jnp.asarray(a["x_edges"]),
-            jnp.asarray(a["supernodes"]), jnp.asarray(a["superedges"]),
-            (jnp.asarray(a["senders"]), jnp.asarray(a["receivers"]),
-             jnp.asarray(a["emask"])),
-            (jnp.asarray(a["b_nodes"]), jnp.asarray(a["b_supers"]),
-             jnp.asarray(a["b_mask"]), jnp.asarray(a["b_w"])),
-            (jnp.asarray(a["s_s"]), jnp.asarray(a["s_r"]),
-             jnp.asarray(a["s_mask"]), jnp.asarray(a["s_w"])),
-            iterations=2)
-        return jnp.sum(nodes ** 2) + jnp.sum(supers ** 2)
-
-    call = _run_hier_halo(mlps, params, a, n_parts=4, iterations=2)
-
-    def loss_sharded(p):
-        nodes, supers = call(p)
-        return jnp.sum(nodes ** 2) + jnp.sum(supers ** 2)
-
-    g_ref = jax.grad(loss_ref)(params)
-    g_sh = jax.grad(loss_sharded)(params)
-    for kref, ksh in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sh)):
-        np.testing.assert_allclose(np.asarray(ksh), np.asarray(kref),
                                    rtol=5e-3, atol=5e-4)
 
 
