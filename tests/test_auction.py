@@ -177,7 +177,8 @@ def test_auction_truth_quality_across_training(rng):
             "max_particles": 64, "latent": 16, "hidden_ratio": 2,
             "n_interaction_graph_iters": 1, "n_hierarchical_graph_iters": 1,
             "knn": 5, "knn_block_size": 128, "gmm_iters": 10,
-            "train_split": [3, 1, 1], "warmup": 2, "emb_epoch": 8}
+            "train_split": [3, 1, 1], "warmup": 2, "emb_epoch": 8,
+            "use_pallas": False}
     hparams, model, pipeline = model_selector("BC-HGNN-GMM", TINY)
     events = generate_dataset(3, seed=9, n_particles=15)
     evs = [jax.tree.map(jnp.asarray, preprocess_event(e, hparams))

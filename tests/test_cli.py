@@ -11,6 +11,9 @@ TINY_SETS = [
     "--set", "n_hierarchical_graph_iters=1", "--set", "knn=5",
     "--set", "knn_block_size=256", "--set", "gmm_iters=10",
     "--set", "train_split=[3,1,1]", "--set", "warmup=2",
+    # mode pinned: the shipped BC config defaults to Pallas+bf16 (TPU fast
+    # path), which off-TPU runs in slow interpret mode
+    "--set", "use_pallas=false", "--set", "compute_dtype=null",
 ]
 
 

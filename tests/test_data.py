@@ -162,3 +162,48 @@ def test_load_dataset_paths_deterministic(tmp_path):
     a = load_dataset_paths(str(tmp_path), ["train", "val"])
     b = load_dataset_paths(str(tmp_path), ["train", "val"])
     assert a == b and len(a) == 8
+
+
+def test_convert_events_pt_to_npz_and_train(rng, tmp_path):
+    """Real-data on-ramp (VERDICT r1 item 9): a tree of reference-style
+    torch ``.pt`` events converts to .npz and .bin with subdirs preserved,
+    and the CLI trains EC-IN directly on the converted tree."""
+    import os
+    import sys
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    from convert_events import convert_tree
+    from hierarchicalgnn_tpu import run as cli
+    from hierarchicalgnn_tpu.data.reader import load_event_file
+
+    src = tmp_path / "pt_tree"
+    for sub, n_ev in (("train", 3), ("val", 1), ("test", 1)):
+        (src / sub).mkdir(parents=True)
+        for i in range(n_ev):
+            ev = generate_event(rng, n_particles=15)
+            # drop optional keys the reference events may lack
+            ev.pop("primary"); ev.pop("y")
+            torch.save({k: torch.from_numpy(np.asarray(v))
+                        for k, v in ev.items()}, str(src / sub / f"e{i}.pt"))
+
+    npz_root = tmp_path / "npz_tree"
+    assert convert_tree(str(src), str(npz_root), "npz") == 5
+    loaded = load_event_file(str(npz_root / "train" / "e0.npz"))
+    assert {"x", "pid", "pt", "edge_index", "y", "y_pid"} <= set(loaded)
+
+    from hierarchicalgnn_tpu.data.native_loader import available
+    if available():
+        bin_root = tmp_path / "bin_tree"
+        assert convert_tree(str(src), str(bin_root), "bin") == 5
+
+    cli.main(["train", "--model", "1", "--run-dir", str(tmp_path / "run"),
+              "--input-dir", str(npz_root), "--max-epochs", "1",
+              "--log-every-n-steps", "0",
+              "--set", "n_nodes_max=512", "--set", "n_edges_max=2048",
+              "--set", "max_clusters=128", "--set", "max_particles=128",
+              "--set", "latent=16", "--set", "n_interaction_graph_iters=1",
+              "--set", "knn_block_size=256",
+              "--set", "train_split=[3,1,1]", "--set", "warmup=2"])
+    assert (tmp_path / "run" / "checkpoints" / "last").exists()

@@ -39,6 +39,7 @@ TINY = {
     "gmm_iters": 10,
     "train_split": [2, 1, 1],
     "warmup": 2,
+    "use_pallas": False,
 }
 
 # The real BC-HGNN-GMM architecture (latent 256, 6+6 iterations; reference
@@ -51,6 +52,7 @@ FLAGSHIP = {
     "max_particles": 256,
     "knn_block_size": 512,
     "train_split": [2, 1, 1],
+    "use_pallas": False,  # interpret-mode Pallas at this scale is impractical on CPU
 }
 
 

@@ -21,6 +21,7 @@ SMALL = {
     "knn": 10,
     "knn_block_size": 256,
     "gmm_iters": 20,
+    "use_pallas": False,  # mode pinned; Pallas variants set it explicitly
 }
 
 

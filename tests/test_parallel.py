@@ -27,6 +27,7 @@ TINY = {
     "gmm_iters": 10,
     "train_split": [4, 2, 2],
     "warmup": 2,
+    "use_pallas": False,
 }
 
 

@@ -24,6 +24,7 @@ TINY = {
     "train_split": [4, 2, 2],
     "warmup": 2,
     "max_epochs": 1,
+    "use_pallas": False,  # mode pinned; interpret coverage is explicit below
 }
 
 
