@@ -98,7 +98,14 @@ def main():
                         "step_ms": round(dt * 1e3, 1),
                         "scaling_efficiency": round(eff, 4)})
         print(json.dumps(results[-1]), flush=True)
-    print(json.dumps({"metric": "dp_scaling", "results": results}))
+    # virtual CPU devices oversubscribe the same host cores, so CPU-mode
+    # wall-clock (and hence efficiency) is meaningless -- the artifact it
+    # produces proves the sharded program compiles and runs at every mesh
+    # size, not how it scales.  Real efficiency needs one process per chip.
+    mode = "cpu-correctness" if args.cpu else "device"
+    print(json.dumps({"metric": "dp_scaling", "mode": mode,
+                      "platform": jax.devices()[0].platform,
+                      "results": results}))
 
 
 if __name__ == "__main__":

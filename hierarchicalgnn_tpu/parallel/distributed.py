@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
 def initialize(coordinator_address: str | None = None,
@@ -42,3 +42,31 @@ def make_global_mesh(graph_per_host: int = 1) -> Mesh:
             f"{local} local devices")
     data = len(devices) // graph_per_host
     return Mesh(devices.reshape(data, graph_per_host), ("data", "graph"))
+
+
+def globalize_batch(local_batch, shardings):
+    """Assemble a global batched Event from per-process local event stacks.
+
+    Each process passes the [B_local, ...] stack of the events it loaded
+    (host-local data never leaves the host); the returned pytree is the
+    global [B_global, ...] array sharded per ``shardings`` (a matching
+    pytree, e.g. ``parallel.mesh.batch_sharding(mesh)``).
+    """
+    def put(x, s):
+        return jax.make_array_from_process_local_data(s, np.asarray(x))
+
+    return jax.tree.map(put, local_batch, shardings)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a host-identical pytree (params/opt state) onto every
+    device of the global mesh.  All processes must hold equal values --
+    guaranteed here by deterministic seeded init."""
+    sharding = NamedSharding(mesh, PartitionSpec())
+    return jax.tree.map(
+        lambda x: jax.device_put(np.asarray(x), sharding), tree)
+
+
+def read_replicated(x) -> np.ndarray:
+    """Host value of a (possibly non-fully-addressable) replicated array."""
+    return np.asarray(x.addressable_data(0))

@@ -46,7 +46,8 @@ def process_hparams(hparams: dict) -> dict:
     # f32 activations are heavy enough that full recompute wins (reference-
     # parity remat=True); bf16 halves the saved-activation traffic and
     # flips it — saving activations beats recompute by ~17%.
-    hparams.setdefault("remat", not hparams.get("compute_dtype"))
+    dtype = str(hparams.get("compute_dtype") or "float32")
+    hparams.setdefault("remat", dtype == "float32")
     for key, value in _TPU_DEFAULTS.items():
         hparams.setdefault(key, value)
     return hparams

@@ -40,6 +40,9 @@ TINY = {
     "train_split": [2, 1, 1],
     "warmup": 2,
     "use_pallas": False,
+    # equivalence tests compare against f32 tolerances; the shipped BC
+    # default is bf16 (covered by tests/test_models.py dtype tests)
+    "compute_dtype": "float32",
 }
 
 # The real BC-HGNN-GMM architecture (latent 256, 6+6 iterations; reference
@@ -53,6 +56,7 @@ FLAGSHIP = {
     "knn_block_size": 512,
     "train_split": [2, 1, 1],
     "use_pallas": False,  # interpret-mode Pallas at this scale is impractical on CPU
+    "compute_dtype": "float32",
 }
 
 

@@ -158,8 +158,10 @@ def test_bf16_data_path(name):
 def test_remat_default_is_dtype_aware():
     """f32 defaults to reference-parity remat=True; bf16 defaults to
     remat=False (measured faster on v5e once activations are half-size);
-    an explicit remat override always wins."""
-    hp_f32, _, _ = model_selector("BC-HGNN-GMM", SMALL)
+    an explicit remat override always wins.  The shipped BC config defaults
+    to bf16, so the f32 case pins compute_dtype explicitly."""
+    hp_f32, _, _ = model_selector(
+        "BC-HGNN-GMM", dict(SMALL, compute_dtype="float32"))
     assert hp_f32["remat"] is True
     hp_bf16, _, _ = model_selector(
         "BC-HGNN-GMM", dict(SMALL, compute_dtype="bfloat16"))

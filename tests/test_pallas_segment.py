@@ -92,7 +92,8 @@ def test_model_forward_with_pallas_matches_xla(rng):
     from hierarchicalgnn_tpu.data.synthetic import generate_event
     from hierarchicalgnn_tpu.models.registry import model_selector
 
-    small = {"n_nodes_max": 512, "n_edges_max": 2048, "max_clusters": 128,
+    small = {"compute_dtype": "float32",  # kernel-vs-XLA parity needs f32
+             "n_nodes_max": 512, "n_edges_max": 2048, "max_clusters": 128,
              "max_particles": 128, "latent": 128, "hidden_ratio": 1,
              "n_interaction_graph_iters": 1, "n_hierarchical_graph_iters": 1,
              "knn": 5, "knn_block_size": 256, "gmm_iters": 10}
