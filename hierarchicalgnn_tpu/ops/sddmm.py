@@ -51,8 +51,20 @@ def edge_cosine_likelihood(embeddings, senders, receivers, mask=None,
     The GMM clustering edge likelihood (reference
     ``Modules/BipartiteClassification/Models/HGNN_GMM.py:188-189``).
     Assumes ``embeddings`` rows are L2-normalized.
+
+    Always computed in f32, even when the model data path is bf16: once
+    embeddings converge, same-track cosine similarities sit within bf16's
+    resolution of 1.0 (eps ~8e-3), so a bf16 dot quantizes them all to
+    exactly 1 -> every edge hits the atanh clamp -> the 2-component GMM
+    degenerates and the score_cut EMA pins at atanh(1-clamp), collapsing
+    clustering (observed at epoch ~90 of runs/bc_pallas_bf16_long).  The
+    pooled statistics are an f32 island; rows are re-normalized in f32
+    because bf16-quantized unit rows carry O(1e-3) norm error.
     """
-    cos = edge_dot(embeddings, embeddings, senders, receivers)
+    emb = embeddings.astype(jnp.float32)
+    emb = emb / jnp.maximum(
+        jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+    cos = edge_dot(emb, emb, senders, receivers)
     cos = jnp.clip(cos, -1.0 + clamp, 1.0 - clamp)
     out = jnp.arctanh(cos)
     if mask is not None:

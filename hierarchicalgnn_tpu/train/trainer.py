@@ -82,15 +82,20 @@ class Trainer:
     # steps
     # ------------------------------------------------------------------
     def init_state(self, example: Event, seed: int = 0) -> TrainState:
-        variables = self.model.init(
-            jax.random.key(seed), example.x, example.graph,
-            node_mask=example.node_mask, training=False)
-        variables = dict(variables)
+        # jit the whole init: unjitted flax init executes the forward
+        # eagerly op-by-op, and on the tunneled TPU every tiny op pays a
+        # remote compile + ~30 ms RPC -- a cold-cache init took ~20 min
+        # (what starved the round-1 convergence runs); jitted it is one
+        # compile.
+        init_fn = jax.jit(lambda key, x, graph, node_mask: self.model.init(
+            key, x, graph, node_mask=node_mask, training=False))
+        variables = dict(init_fn(jax.random.key(seed), example.x,
+                                 example.graph, example.node_mask))
         params = variables.pop("params")
         buffers = {k: variables[k] for k in variables}
         steps_per_epoch = max(self.hparams["train_split"][0], 1)
         self.optimizer = make_optimizer(self.hparams, steps_per_epoch)
-        opt_state = self.optimizer.init(params)
+        opt_state = jax.jit(self.optimizer.init)(params)
         return TrainState(params=params, buffers=buffers,
                           opt_state=opt_state, step=jnp.zeros((), jnp.int32))
 

@@ -265,6 +265,25 @@ class TestSDDMM:
         np.testing.assert_allclose(out, np.arctanh(np.clip(cos, -1 + 1e-7, 1 - 1e-7)),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_edge_cosine_likelihood_bf16_no_saturation(self):
+        """bf16 embeddings must not saturate the likelihood at the atanh
+        clamp: a bf16 dot quantizes converged-track cosines (cos > 0.996)
+        to exactly 1, pinning the GMM score_cut at atanh(1-clamp) and
+        collapsing clustering (the epoch-90 failure of
+        runs/bc_pallas_bf16_long).  The op computes its f32 island
+        internally, so bf16 inputs at cos=0.999 stay near atanh(0.999)."""
+        theta = np.arccos(0.999)
+        emb = np.stack([[1.0, 0.0], [np.cos(theta), np.sin(theta)]])
+        emb_bf16 = jnp.asarray(emb).astype(jnp.bfloat16)
+        s = jnp.array([0], jnp.int32)
+        r = jnp.array([1], jnp.int32)
+        out = np.asarray(ops.edge_cosine_likelihood(emb_bf16, s, r))
+        assert out.dtype == np.float32
+        clamp_val = np.arctanh(1 - 1e-7)
+        # bf16 input quantization perturbs cos by O(1e-3); the result must
+        # stay in the vicinity of atanh(0.999)=3.8, far from the 8.38 clamp
+        assert 2.0 < out[0] < 6.0, f"saturated: {out[0]} (clamp {clamp_val})"
+
 
 class TestTrackingMetrics:
     """Deterministic scenarios for the eval_metrics semantics
