@@ -135,12 +135,21 @@ class InteractionGNNBlock(nn.Module):
 
         if not self.emb:
             return nodes, edges
+        # The embedding head computes in f32 even on the bf16 data path
+        # (compute_dtype=None; like the score heads, the head leaves the
+        # bf16 path).  bf16-VALUED embeddings collide exactly once
+        # same-track hits converge within bf16 quantization; the collided
+        # pairs' cosine is exactly 1, piling a delta spike at the atanh
+        # clamp that the clustering GMM then fits -- the score_cut EMA pins
+        # at atanh(1-1e-7)=8.38 and clustering collapses (epoch ~90 of
+        # runs/bc_pallas_bf16_long).  A cast AFTER a bf16 head cannot undo
+        # the collision; the head itself must be the f32 island.
         output_layer = MLP(
             hidden_size=cfg.hidden, output_size=cfg.emb_dim,
             hidden_layers=cfg.output_layers, layer_norm=cfg.layernorm,
             output_activation=None,
             hidden_activation=cfg.hidden_output_activation,
-            compute_dtype=cfg.compute_dtype)
+            compute_dtype=None)
         embeddings = l2_normalize(output_layer(nodes).astype(jnp.float32))
         return embeddings, nodes, edges
 
@@ -392,12 +401,14 @@ class HierarchicalGNNBlock(nn.Module):
                "score_cut": score_cut.value[0]}
 
         if self.emb_output:
+            # f32 island like the IN-block embedding head (see there): the
+            # final embeddings feed hinge distances and HDBSCAN clustering.
             output_layer = MLP(
                 hidden_size=cfg.hidden, output_size=cfg.emb_dim,
                 hidden_layers=cfg.output_layers, layer_norm=cfg.layernorm,
                 output_activation=None,
                 hidden_activation=cfg.hidden_output_activation,
-            compute_dtype=cfg.compute_dtype)
+                compute_dtype=None)
             out_embeddings = l2_normalize(
                 output_layer(nodes).astype(jnp.float32))
             return out_embeddings, aux
