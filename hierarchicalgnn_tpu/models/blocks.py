@@ -144,12 +144,14 @@ class InteractionGNNBlock(nn.Module):
         # at atanh(1-1e-7)=8.38 and clustering collapses (epoch ~90 of
         # runs/bc_pallas_bf16_long).  A cast AFTER a bf16 head cannot undo
         # the collision; the head itself must be the f32 island.
+        # (cfg.emb_head_dtype="bfloat16" re-opens the collision path for
+        # ablation runs only -- see the seed study in docs/DESIGN.md.)
         output_layer = MLP(
             hidden_size=cfg.hidden, output_size=cfg.emb_dim,
             hidden_layers=cfg.output_layers, layer_norm=cfg.layernorm,
             output_activation=None,
             hidden_activation=cfg.hidden_output_activation,
-            compute_dtype=None)
+            compute_dtype=cfg.emb_head_dtype)
         embeddings = l2_normalize(output_layer(nodes).astype(jnp.float32))
         return embeddings, nodes, edges
 
@@ -269,9 +271,25 @@ class HierarchicalGNNBlock(nn.Module):
 
         # --- pooling (replicated across the graph axis when sharded) ---
         if shard is not None:
-            clusters, n_clusters = self.clustering(
-                score_cut, emb_global, shard.full_graph, mask_global,
-                training, plan=None)
+            if shard.spec.use_pallas:
+                # Sorted-native CC for the replicated pooled space too: a
+                # full-graph plan built once per forward feeds the blocked-
+                # CSR VPU-min hop (the scatter-min fallback measured ~30x
+                # slower at TrackML scale -- docs/DESIGN.md CC table).
+                from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
+                    build_sorted_plan)
+                fg = shard.full_graph
+                fplan = build_sorted_plan(fg.senders, fg.receivers,
+                                          fg.edge_mask, n_global)
+                fgraph = Graph(fplan.senders_sorted, fplan.receivers_sorted,
+                               fplan.edge_mask_sorted)
+                clusters, n_clusters = self.clustering(
+                    score_cut, emb_global, fgraph, mask_global,
+                    training, plan=fplan)
+            else:
+                clusters, n_clusters = self.clustering(
+                    score_cut, emb_global, shard.full_graph, mask_global,
+                    training, plan=None)
         else:
             clusters, n_clusters = self.clustering(
                 score_cut, embeddings, graph, node_mask, training, plan=plan)

@@ -11,6 +11,7 @@ multiply-reduce into it).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -62,8 +63,11 @@ def edge_cosine_likelihood(embeddings, senders, receivers, mask=None,
     because bf16-quantized unit rows carry O(1e-3) norm error.
     """
     emb = embeddings.astype(jnp.float32)
-    emb = emb / jnp.maximum(
-        jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+    # Safe-at-zero normalization (same form as models.blocks.l2_normalize):
+    # a norm-based x/max(||x||, eps) has a NaN vjp at padded all-zero rows
+    # (0/0 through the norm; the zero cotangent does not stop 0*NaN=NaN).
+    sq = jnp.sum(jnp.square(emb), axis=-1, keepdims=True)
+    emb = emb * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
     cos = edge_dot(emb, emb, senders, receivers)
     cos = jnp.clip(cos, -1.0 + clamp, 1.0 - clamp)
     out = jnp.arctanh(cos)

@@ -58,10 +58,40 @@ def globalize_batch(local_batch, shardings):
     return jax.tree.map(put, local_batch, shardings)
 
 
-def replicate(tree, mesh: Mesh):
+def assert_host_identical(tree, name: str = "tree"):
+    """Debug guard: verify every process holds bit-identical leaf values.
+
+    ``replicate`` trusts the caller (deterministic seeded init); a seed or
+    config drift between hosts would otherwise produce silently divergent
+    'replicated' params.  Gathers an 8-byte sha256 fingerprint per process
+    and compares — cheap enough for test/debug paths, one DCN round-trip.
+    """
+    import hashlib
+
+    from jax.experimental import multihost_utils
+
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves(tree):
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    # two int32 words (not one int64): jax canonicalizes int64 arrays to
+    # int32 when x64 is off, which would silently truncate the fingerprint
+    digest = np.frombuffer(h.digest()[:8], dtype=np.int32)
+    gathered = np.asarray(
+        multihost_utils.process_allgather(digest)).reshape(-1, digest.size)
+    if not (gathered == digest[None]).all():
+        raise ValueError(
+            f"{name} differs across processes: fingerprints "
+            f"{gathered.tolist()} (process {jax.process_index()} has "
+            f"{digest.tolist()}) — check seeds/configs are identical")
+
+
+def replicate(tree, mesh: Mesh, check: bool = False):
     """Replicate a host-identical pytree (params/opt state) onto every
     device of the global mesh.  All processes must hold equal values --
-    guaranteed here by deterministic seeded init."""
+    guaranteed here by deterministic seeded init; pass ``check=True`` in
+    test/debug paths to verify via :func:`assert_host_identical`."""
+    if check:
+        assert_host_identical(tree, "replicate() input")
     sharding = NamedSharding(mesh, PartitionSpec())
     return jax.tree.map(
         lambda x: jax.device_put(np.asarray(x), sharding), tree)

@@ -145,10 +145,30 @@ class Trainer:
 
         self._train_step_packed = jax.jit(train_step, donate_argnums=(0,))
 
+        debug_numerics = bool(self.hparams.get("debug_numerics"))
+
         def _train_step_dict(state, batch, epoch):
             new_state, vec = self._train_step_packed(state, batch, epoch)
             vals = np.asarray(vec)  # single readback
-            return new_state, dict(zip(self._metric_names, vals.tolist()))
+            metrics = dict(zip(self._metric_names, vals.tolist()))
+            if debug_numerics and not np.isfinite(vals).all():
+                # numerics sanitizer (utils/sanitize.py): fail LOUDLY at the
+                # first poisoned step with the exact bad leaves; the
+                # fit-loop's autosave-on-exception still checkpoints.
+                from hierarchicalgnn_tpu.utils.sanitize import finite_report
+                report = {"metrics": {k: v for k, v in metrics.items()
+                                      if not np.isfinite(v)},
+                          "params": finite_report(new_state.params,
+                                                  max_leaves=8),
+                          "buffers": finite_report(new_state.buffers,
+                                                   max_leaves=8)}
+                # autosave HERE: the input state was donated to the step,
+                # so the fit loop's exception handler cannot save it
+                self._save(new_state, "autosave",
+                           epoch=getattr(self, "_cur_epoch", epoch))
+                raise FloatingPointError(
+                    f"non-finite training step (epoch {epoch}): {report}")
+            return new_state, metrics
 
         self._train_step = _train_step_dict
 
@@ -158,11 +178,6 @@ class Trainer:
         # same params/buffers/checkpoints as the single-device path.
         mesh_shape = self.hparams.get("mesh_shape")
         if mesh_shape and int(mesh_shape.get("graph", 1)) > 1:
-            if int(mesh_shape.get("data", 1)) != 1:
-                raise ValueError(
-                    "Trainer iterates single events; use parallel/"
-                    "graph_shard.make_sharded_train_step directly for a "
-                    "combined data x graph mesh")
             from hierarchicalgnn_tpu.parallel.graph_shard import (
                 make_sharded_train_step)
             from hierarchicalgnn_tpu.parallel.mesh import make_mesh
@@ -171,10 +186,15 @@ class Trainer:
             mesh = make_mesh(**{k: int(v) for k, v in mesh_shape.items()})
             sharded = make_sharded_train_step(pipeline, optimizer, mesh,
                                               self.hparams)
+            # data axis > 1: the fit loop groups that many events per step
+            # (micro-batch DP on top of the graph partition)
+            data_size = int(mesh_shape.get("data", 1))
+            self._step_batch = data_size
 
             def _sharded_step_dict(state, batch, epoch):
-                new_state, metrics = sharded(state, stack_events([batch]),
-                                             epoch)
+                if data_size == 1:  # fit loop passes a single Event
+                    batch = stack_events([batch])
+                new_state, metrics = sharded(state, batch, epoch)
                 return new_state, {k: float(v) for k, v in metrics.items()}
 
             self._train_step = _sharded_step_dict
@@ -284,7 +304,11 @@ class Trainer:
         max_epochs = max_epochs or hp["max_epochs"]
         trainset, valset, testset = self.make_datasets(raw_events)
         if state is None:
-            state = self.init_state(trainset[0][1])
+            # init_seed: parameter-init seed (seed studies, e.g. the
+            # f32-islands ablation); data split/shuffle seeds stay fixed
+            # so runs differ only in initialization.
+            state = self.init_state(trainset[0][1],
+                                    seed=int(hp.get("init_seed") or 0))
         else:
             self.optimizer = make_optimizer(
                 hp, max(hp["train_split"][0], 1))
@@ -315,12 +339,24 @@ class Trainer:
             # run is resumable (the reference relies on Lightning's
             # last.ckpt).  _cur_epoch tracks the epoch actually in flight so
             # the resume does not replay already-trained epochs.
-            self._save(state, "autosave", epoch=self._cur_epoch)
+            self._autosave_safe(state)
             raise
         except Exception:
-            self._save(state, "autosave", epoch=self._cur_epoch)
+            self._autosave_safe(state)
             raise
         return state
+
+    def _autosave_safe(self, state):
+        """Autosave that never masks the original exception: the state may
+        hold donated (deleted) arrays when a step raised mid-flight (the
+        debug_numerics guard already saved the post-step state itself)."""
+        try:
+            self._save(state, "autosave", epoch=self._cur_epoch)
+        except Exception:
+            import traceback
+            print("autosave-on-exception failed (continuing to re-raise "
+                  "the original error):", flush=True)
+            traceback.print_exc()
 
     def _fit_epochs(self, state, trainset, valset, rng, start_epoch,
                     max_epochs, accum_for_epoch, best_track_eff):
@@ -333,7 +369,23 @@ class Trainer:
             t0 = time.time()
             order = rng.permutation(len(trainset))
             k = accum_for_epoch(epoch)
-            if k <= 1:
+            bs = int(getattr(self, "_step_batch", 1) or 1)
+            if k <= 1 and bs > 1:
+                # combined data x graph mesh: each step consumes `bs` events
+                # stacked over the data axis; a ragged tail repeats the last
+                # event (its gradient is averaged in twice -- same slight
+                # oversampling a drop_last=False DP loader has)
+                from hierarchicalgnn_tpu.parallel.step import stack_events
+                idxs = list(order)
+                for j in range(0, len(idxs), bs):
+                    events = [trainset[i][1] for i in idxs[j:j + bs]]
+                    while len(events) < bs:
+                        events.append(events[-1])
+                    state, metrics = self._train_step(
+                        state, stack_events(events), epoch)
+                    step_i += 1
+                    self.logger.log(metrics, step=step_i, epoch=epoch)
+            elif k <= 1:
                 for i in order:
                     _, batch = trainset[i]
                     state, metrics = self._train_step(state, batch, epoch)

@@ -14,6 +14,7 @@ import dataclasses
 import os
 from typing import Any
 
+import numpy as np
 import yaml
 
 CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
@@ -46,7 +47,12 @@ def process_hparams(hparams: dict) -> dict:
     # f32 activations are heavy enough that full recompute wins (reference-
     # parity remat=True); bf16 halves the saved-activation traffic and
     # flips it — saving activations beats recompute by ~17%.
-    dtype = str(hparams.get("compute_dtype") or "float32")
+    # Normalize dtype *objects* (np.float32/jnp.bfloat16) to their canonical
+    # names so they compare equal to string spellings instead of silently
+    # taking the wrong remat branch; strings pass through untouched (np.dtype
+    # can't parse "bfloat16" unless ml_dtypes happens to be registered).
+    raw = hparams.get("compute_dtype") or "float32"
+    dtype = raw if isinstance(raw, str) else np.dtype(raw).name
     hparams.setdefault("remat", dtype == "float32")
     for key, value in _TPU_DEFAULTS.items():
         hparams.setdefault(key, value)
@@ -91,6 +97,12 @@ class ArchConfig:
     knn_block_size: int = 1024
     use_pallas: bool = False
     compute_dtype: str | None = None  # "bfloat16" for 2x-rate MXU matmuls
+    # dtype of the EMBEDDING heads.  None (default) = f32 islands: bf16-
+    # VALUED embeddings collide once same-track hits converge within bf16
+    # quantization and clustering collapses (docs/DESIGN.md "f32 islands";
+    # runs/bc_pallas_bf16_long epoch ~90).  "bfloat16" re-opens that path
+    # for ablation runs (the r2 `_r2` variant of the seed study).
+    emb_head_dtype: str | None = None
     # MLP gradient checkpointing (reference gnn_utils.py:14-15):
     # True = full recompute (reference parity), "dots" = save matmul
     # outputs / recompute elementwise, False = save everything.

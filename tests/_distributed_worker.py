@@ -17,10 +17,15 @@ pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Single source of truth for the config: losses compared across processes
+# must come from the same hparams as the parent test's oracle.
+from test_parallel import TINY  # noqa: E402
 
 from hierarchicalgnn_tpu.parallel import distributed  # noqa: E402
 
@@ -37,17 +42,6 @@ from hierarchicalgnn_tpu.parallel.mesh import batch_sharding  # noqa: E402
 from hierarchicalgnn_tpu.parallel.step import make_dp_train_step  # noqa: E402
 from hierarchicalgnn_tpu.train.optim import make_optimizer  # noqa: E402
 from hierarchicalgnn_tpu.train.trainer import Trainer  # noqa: E402
-
-# Mirrors tests/test_parallel.py::TINY (kept inline: this file must import
-# standalone in a fresh subprocess, before any conftest runs).
-TINY = {
-    "n_nodes_max": 256, "n_edges_max": 1024, "max_clusters": 64,
-    "max_particles": 64, "latent": 16, "hidden_ratio": 2,
-    "n_interaction_graph_iters": 1, "n_hierarchical_graph_iters": 1,
-    "knn": 5, "knn_block_size": 128, "gmm_iters": 10,
-    "train_split": [4, 2, 2], "warmup": 2, "use_pallas": False,
-}
-
 
 def main():
     assert jax.process_count() == nproc
@@ -67,7 +61,7 @@ def main():
 
     trainer = Trainer(hparams, model, pipeline, run_dir=f"/tmp/dist_{pid}")
     state = trainer.init_state(jax.tree.map(jnp.asarray, evs[0]))
-    state = distributed.replicate(state, mesh)
+    state = distributed.replicate(state, mesh, check=True)
 
     step = make_dp_train_step(pipeline, make_optimizer(hparams, nproc), mesh)
     new_state, metrics = step(state, batch, 0)

@@ -164,6 +164,39 @@ def test_load_dataset_paths_deterministic(tmp_path):
     assert a == b and len(a) == 8
 
 
+def test_pt_fixture_all_pyg_layouts_roundtrip(tmp_path):
+    """All three reference pickle layouts (plain dict, pre-2.0 PyG
+    ``__dict__`` object, PyG>=2.0 ``_store`` object -- reference
+    ``Modules/utils.py:54-56``) round-trip bit-exactly through
+    scripts/make_pt_fixture.py -> scripts/convert_events.py -> npz."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    from convert_events import convert_tree
+    from make_pt_fixture import LAYOUTS, make_pt_tree
+    from hierarchicalgnn_tpu.data.reader import EVENT_KEYS, load_event_file
+    from hierarchicalgnn_tpu.data.synthetic import generate_dataset
+
+    src, dst = tmp_path / "pt", tmp_path / "npz"
+    assert make_pt_tree(str(src), n_events=6, seed=4, n_particles=12) == 6
+    layouts_on_disk = {p.name.split("_")[-1].split(".")[0]
+                       for sub in ("train", "val", "test")
+                       for p in (src / sub).iterdir()}
+    assert layouts_on_disk == set(LAYOUTS)  # every pickle branch present
+
+    assert convert_tree(str(src), str(dst), "npz") == 6
+    events = generate_dataset(6, seed=4, n_particles=12)
+    for sub in ("train", "val", "test"):
+        for p in sorted((dst / sub).iterdir()):
+            i = int(p.name.split("_")[0].removeprefix("event"))
+            loaded = load_event_file(str(p))
+            for k in EVENT_KEYS:
+                np.testing.assert_array_equal(
+                    loaded[k], np.asarray(events[i][k]), err_msg=f"{p} {k}")
+
+
 def test_convert_events_pt_to_npz_and_train(rng, tmp_path):
     """Real-data on-ramp (VERDICT r1 item 9): a tree of reference-style
     torch ``.pt`` events converts to .npz and .bin with subdirs preserved,

@@ -18,6 +18,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hierarchicalgnn_tpu.data.event import preprocess_event
 from hierarchicalgnn_tpu.data.synthetic import generate_dataset
@@ -55,6 +56,7 @@ def _oracle_loss():
     return float(metrics["training_loss"])
 
 
+@pytest.mark.slow
 def test_two_process_dp_step_matches_oracle():
     port = _free_port()
     env = {k: v for k, v in os.environ.items()

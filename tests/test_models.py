@@ -22,6 +22,7 @@ SMALL = {
     "knn_block_size": 256,
     "gmm_iters": 20,
     "use_pallas": False,  # mode pinned; Pallas variants set it explicitly
+    "compute_dtype": "float32",  # dtype pinned; bf16 variants set it explicitly
 }
 
 
@@ -124,7 +125,9 @@ class TestForwards:
         np.testing.assert_allclose(s1[:e], s2[:e], rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("name", ["EC-IN", "BC-HGNN-GMM"])
+@pytest.mark.parametrize("name", ["EC-IN", "Embedding-IN",
+                                  "Embedding-HGNN-GMM", "BC-HGNN-GMM",
+                                  "gMRT"])
 def test_bf16_data_path(name):
     """compute_dtype="bfloat16" runs the whole cell data path in bf16
     (residual streams, gathers, aggregations) with f32 heads/losses: loss
@@ -153,6 +156,33 @@ def test_bf16_data_path(name):
     assert trees["None"] == trees["bfloat16"]
     np.testing.assert_allclose(results["bfloat16"], results["None"],
                                rtol=0.05)
+
+
+def test_emb_head_dtype_ablation_knob():
+    """emb_head_dtype="bfloat16" (the seed-study `_r2` ablation variant)
+    runs the embedding heads in bf16: embeddings become bf16-quantized
+    (round-trip through bf16 is exact) while the shipped default stays
+    full-precision f32; loss finite, param tree unchanged."""
+    cfg = dict(SMALL, compute_dtype="bfloat16")
+    hp, m, pl = model_selector("BC-HGNN-GMM", cfg)
+    batch = small_batch(hp)
+    embs, trees = {}, {}
+    for hd in [None, "bfloat16"]:
+        hp2, m2, pl2 = model_selector(
+            "BC-HGNN-GMM", dict(cfg, emb_head_dtype=hd))
+        variables = dict(m2.init(jax.random.key(0), batch.x, batch.graph,
+                                 node_mask=batch.node_mask, training=False))
+        params = variables.pop("params")
+        trees[str(hd)] = jax.tree.structure(params)
+        _, _, intermediate, _ = m2.apply(
+            {"params": params, **variables}, batch.x, batch.graph,
+            node_mask=batch.node_mask, training=False)
+        embs[str(hd)] = np.asarray(intermediate)
+        loss, _ = pl2.loss(params, variables, batch, 0, training=False)
+        assert np.isfinite(float(loss))
+    assert trees["None"] == trees["bfloat16"]
+    # the knob must be live: same params/init, different head numerics
+    assert not np.allclose(embs["bfloat16"], embs["None"], atol=1e-6)
 
 
 def test_remat_default_is_dtype_aware():

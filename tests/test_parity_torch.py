@@ -223,7 +223,8 @@ def test_ec_model_full_parity(rng):
                      n_interaction_graph_iters=iters, nb_node_layer=2,
                      nb_edge_layer=2, output_layers=2, layernorm=True,
                      hidden_activation="GELU",
-                     hidden_output_activation="Tanh", use_pallas=False)
+                     hidden_output_activation="Tanh", use_pallas=False,
+                     compute_dtype="float32")
     x = rng.normal(size=(n, 3)).astype(np.float32)
     s = rng.integers(0, n, e).astype(np.int32)
     r = rng.integers(0, n, e).astype(np.int32)
@@ -410,7 +411,8 @@ def test_bc_model_full_parity(rng):
                      hidden_activation="GELU", hidden_output_activation="Tanh",
                      bipartitegraph_sparsity=k_b, supergraph_sparsity=k_s,
                      min_cluster_size=min_cs, max_clusters=c_max,
-                     gmm_iters=10, knn_block_size=64, use_pallas=False)
+                     gmm_iters=10, knn_block_size=64, use_pallas=False,
+                     compute_dtype="float32")
     # clustered inputs so the pinned cut yields >3 clusters (no over-cut
     # fallback) -- the interesting path through the hierarchy
     centers = rng.normal(size=(n_groups, 3)).astype(np.float32) * 2

@@ -25,6 +25,7 @@ TINY = {
     "warmup": 2,
     "max_epochs": 1,
     "use_pallas": False,  # mode pinned; interpret coverage is explicit below
+    "compute_dtype": "float32",  # ditto: yaml default bf16 must not leak in
 }
 
 
@@ -234,3 +235,50 @@ def test_fit_streaming_native_loader(tmp_path):
                                   steps_per_epoch=4, max_epochs=2)
     assert int(state.step) == 8
     assert (tmp_path / "run" / "checkpoints" / "last").exists()
+
+
+def test_numerics_sanitizer():
+    """utils/sanitize.py: finite audit, determinism check, and the
+    Trainer's debug_numerics step guard (the TPU-native sanitizer of
+    SURVEY §5 -- the reference ships none)."""
+    import pytest as _pytest
+
+    from hierarchicalgnn_tpu.utils.sanitize import (
+        assert_all_finite, check_determinism, finite_report)
+
+    tree = {"a": np.ones(4, np.float32),
+            "b": np.array([1.0, np.nan, np.inf, 2.0], np.float32),
+            "ints": np.arange(3)}
+    rep = finite_report(tree)
+    assert list(rep) == ["['b']"] and rep["['b']"] == (2, 4)
+    with _pytest.raises(FloatingPointError, match=r"\['b'\]: 2/4"):
+        assert_all_finite(tree, "grads")
+    assert_all_finite({"a": tree["a"]})
+
+    # determinism: pure fn passes; a stateful fn is flagged
+    check_determinism(lambda x: x * 2, jnp.arange(4.0), what="double")
+    counter = {"n": 0}
+
+    def impure(x):
+        counter["n"] += 1
+        return x + counter["n"]
+
+    with _pytest.raises(AssertionError, match="nondeterministic"):
+        check_determinism(impure, jnp.arange(4.0), what="impure")
+
+    # Trainer guard: poisoned params -> first step raises with the audit
+    # (and the fit loop's autosave fires before the exception propagates)
+    hparams, model, pipeline = model_selector(
+        "EC-IN", dict(TINY, debug_numerics=True))
+    events = generate_dataset(4, seed=3, n_particles=10)
+    trainer = Trainer(hparams, model, pipeline, run_dir="/tmp/sanitize_t",
+                      log_every_n_steps=0)
+    trainset, _, _ = trainer.make_datasets(events)
+    state = trainer.init_state(trainset[0][1])
+    bad_params = jax.tree.map(lambda p: p * np.nan, state.params)
+    state = state.replace(params=bad_params)
+    with _pytest.raises(FloatingPointError, match="non-finite training"):
+        trainer.fit(events, max_epochs=1, state=state,
+                    num_sanity_val_steps=0)
+    import os
+    assert os.path.exists("/tmp/sanitize_t/checkpoints/autosave")
