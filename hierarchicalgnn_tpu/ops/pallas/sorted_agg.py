@@ -23,6 +23,7 @@ custom VJP.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,8 +31,16 @@ from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_E = 512
-BLOCK_R = 256
+# Defaults from the round-3 hardware sweep (scripts/sweep_agg_blocks.py,
+# E=512k D=256 on v5e): (block_r=256, block_e=1024) is fastest for BOTH
+# dtypes -- bf16 0.793 ms (661M edges/s, +13% over 512-edge blocks; the
+# bf16 path is per-step-overhead-bound, so larger edge blocks amortize the
+# one-hot build + DMA setup), f32 1.096 ms (478M).  block_r trades MXU
+# one-hot FLOPs (linear in block_r) against boundary-chunk slop; 256 beats
+# both 128 and 512 at TrackML edge densities.
+# Env overrides (debug/bisect aid): HGNN_BLOCK_E / HGNN_BLOCK_R.
+BLOCK_E = int(os.environ.get("HGNN_BLOCK_E", "1024"))
+BLOCK_R = int(os.environ.get("HGNN_BLOCK_R", "256"))
 
 
 @struct.dataclass

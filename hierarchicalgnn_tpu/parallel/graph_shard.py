@@ -97,9 +97,9 @@ def partition_edges(graph: Graph, num_nodes: int, spec: SpmdSpec):
     """
     e = graph.capacity
     n_parts = spec.n_parts
-    # 512-aligned so per-shard Pallas plans need no internal repadding
-    # (ops/pallas/sorted_agg.py BLOCK_E)
-    e_cap = _round_up(max(int(e * spec.slack) // n_parts, 512), 512)
+    # BLOCK_E-aligned so per-shard Pallas plans need no internal repadding
+    from hierarchicalgnn_tpu.ops.pallas.sorted_agg import BLOCK_E
+    e_cap = _round_up(max(int(e * spec.slack) // n_parts, BLOCK_E), BLOCK_E)
     block = num_nodes // n_parts
 
     big = jnp.int32(num_nodes)  # sorts padded edges past every owner

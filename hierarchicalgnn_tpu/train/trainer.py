@@ -146,9 +146,33 @@ class Trainer:
         self._train_step_packed = jax.jit(train_step, donate_argnums=(0,))
 
         debug_numerics = bool(self.hparams.get("debug_numerics"))
+        self._packed_broken = False
+
+        def _split_step(state, batch, epoch):
+            """Two-program fallback (same code as the accumulation path)."""
+            grads, buffers, metrics = self._grad_step(state, batch, epoch)
+            new_state = self._apply_grads(state, grads, buffers)
+            return new_state, {k: float(v) for k, v in metrics.items()}
 
         def _train_step_dict(state, batch, epoch):
-            new_state, vec = self._train_step_packed(state, batch, epoch)
+            if self._packed_broken:
+                return _split_step(state, batch, epoch)
+            try:
+                new_state, vec = self._train_step_packed(state, batch, epoch)
+            except jax.errors.JaxRuntimeError as e:
+                # Compiler-internal failures (observed: the remote TPU
+                # compile helper SIGSEGVs on the Embedding-HGNN fused
+                # grad+optimizer program) -- contain by splitting the step
+                # into the grad/apply two-program form, which compiles.
+                # Inputs are not consumed on a failed compile, so state is
+                # still live for the retry.
+                if "INTERNAL" not in str(e):
+                    raise
+                print(f"packed train step failed to compile ({str(e)[:120]}"
+                      "...); falling back to split grad/apply programs",
+                      flush=True)
+                self._packed_broken = True
+                return _split_step(state, batch, epoch)
             vals = np.asarray(vec)  # single readback
             metrics = dict(zip(self._metric_names, vals.tolist()))
             if debug_numerics and not np.isfinite(vals).all():

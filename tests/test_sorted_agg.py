@@ -187,7 +187,9 @@ def test_bfloat16_data(rng):
     assert g.dtype == jnp.bfloat16
 
     # overflow branch returns the same dtype as the kernel branch
-    plan_o = build_sorted_plan(s, r, m, 256, c_max=1)
+    # block_e pinned to 512: the overflow scenario needs >1 chunk per
+    # row-group, which the (larger) shipped default no longer forces here
+    plan_o = build_sorted_plan(s, r, m, 256, c_max=1, block_e=512)
     assert bool(plan_o.overflowed)
     out_o = sorted_aggregate(plan_o.sort(data.astype(jnp.bfloat16)), plan_o,
                              interpret=True)
@@ -229,7 +231,9 @@ def test_weighted_aggregate(rng):
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref),
                                rtol=3e-2, atol=3e-2)
 
-    plan_o = build_sorted_plan(s, r, m, 256, c_max=1)
+    # block_e pinned to 512: the overflow scenario needs >1 chunk per
+    # row-group, which the (larger) shipped default no longer forces here
+    plan_o = build_sorted_plan(s, r, m, 256, c_max=1, block_e=512)
     assert bool(plan_o.overflowed)
     out_o = sorted_aggregate_weighted(plan_o.sort(data), plan_o.sort(w),
                                       plan_o, True)
