@@ -282,3 +282,48 @@ def test_numerics_sanitizer():
                     num_sanity_val_steps=0)
     import os
     assert os.path.exists("/tmp/sanitize_t/checkpoints/autosave")
+
+
+def test_packed_step_compile_failure_falls_back():
+    """Compiler-INTERNAL failures of the fused train step fall back to the
+    split grad/apply programs and training proceeds (the Embedding-HGNN
+    Pallas+bf16 fused program SIGSEGVs the TPU compiler in the wild --
+    docs/DESIGN.md round 3)."""
+    import jax.errors
+
+    hparams, model, pipeline = model_selector("EC-IN", TINY)
+    events = generate_dataset(4, seed=3, n_particles=10)
+    trainer = Trainer(hparams, model, pipeline, run_dir="/tmp/fallback_t",
+                      log_every_n_steps=0)
+    trainset, _, _ = trainer.make_datasets(events)
+    state = trainer.init_state(trainset[0][1])
+    trainer._build_steps()
+
+    calls = {"n": 0}
+
+    def boom(state, batch, epoch):
+        calls["n"] += 1
+        raise jax.errors.JaxRuntimeError(
+            "INTERNAL: http://127.0.0.1/remote_compile: HTTP 500: "
+            "tpu_compile_helper subprocess exit signal SIGSEGV (11)")
+
+    trainer._train_step_packed = boom
+    new_state, metrics = trainer._train_step(state, trainset[0][1], 0)
+    assert calls["n"] == 1 and trainer._packed_broken
+    assert np.isfinite(metrics["training_loss"])
+    # subsequent steps go straight to the split path (no second attempt)
+    new_state, _ = trainer._train_step(new_state, trainset[1][1], 0)
+    assert calls["n"] == 1
+    assert int(new_state.step) == 2
+    # non-INTERNAL runtime errors still propagate
+    trainer2 = Trainer(hparams, model, pipeline, run_dir="/tmp/fallback_t2",
+                       log_every_n_steps=0)
+    trainer2.optimizer = trainer.optimizer
+    trainer2._build_steps()
+
+    def other(state, batch, epoch):
+        raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: oom")
+
+    trainer2._train_step_packed = other
+    with pytest.raises(jax.errors.JaxRuntimeError, match="RESOURCE"):
+        trainer2._train_step(state, trainset[0][1], 0)
