@@ -93,11 +93,20 @@ class Trainer:
                                  example.graph, example.node_mask))
         params = variables.pop("params")
         buffers = {k: variables[k] for k in variables}
-        steps_per_epoch = max(self.hparams["train_split"][0], 1)
-        self.optimizer = make_optimizer(self.hparams, steps_per_epoch)
+        self.optimizer = make_optimizer(self.hparams, self._steps_per_epoch())
         opt_state = jax.jit(self.optimizer.init)(params)
         return TrainState(params=params, buffers=buffers,
                           opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+    def _steps_per_epoch(self) -> int:
+        """Optimizer steps per epoch: with a data-axis mesh the fit loop
+        consumes ``data`` events per step, so warmup/decay schedules must
+        count ceil(n_train / data) steps -- not one per event -- to match
+        single-device runs in epoch units."""
+        n = max(self.hparams["train_split"][0], 1)
+        mesh_shape = self.hparams.get("mesh_shape") or {}
+        data_size = int(mesh_shape.get("data", 1) or 1)
+        return max(-(-n // data_size), 1)
 
     def _build_steps(self):
         pipeline = self.pipeline
@@ -147,6 +156,7 @@ class Trainer:
 
         debug_numerics = bool(self.hparams.get("debug_numerics"))
         self._packed_broken = False
+        self._packed_ok = False   # has the packed step ever completed?
 
         def _split_step(state, batch, epoch):
             """Two-program fallback (same code as the accumulation path)."""
@@ -159,21 +169,26 @@ class Trainer:
                 return _split_step(state, batch, epoch)
             try:
                 new_state, vec = self._train_step_packed(state, batch, epoch)
+                vals = np.asarray(vec)  # single readback
             except jax.errors.JaxRuntimeError as e:
                 # Compiler-internal failures (observed: the remote TPU
                 # compile helper SIGSEGVs on the Embedding-HGNN fused
                 # grad+optimizer program) -- contain by splitting the step
                 # into the grad/apply two-program form, which compiles.
                 # Inputs are not consumed on a failed compile, so state is
-                # still live for the retry.
-                if "INTERNAL" not in str(e):
+                # still live for the retry.  Only the FIRST call may fall
+                # back: once a packed step has completed, an INTERNAL error
+                # is an execution failure after the donated input buffers
+                # were consumed -- retrying on deleted arrays would raise a
+                # confusing secondary error masking the original.
+                if "INTERNAL" not in str(e) or self._packed_ok:
                     raise
                 print(f"packed train step failed to compile ({str(e)[:120]}"
                       "...); falling back to split grad/apply programs",
                       flush=True)
                 self._packed_broken = True
                 return _split_step(state, batch, epoch)
-            vals = np.asarray(vec)  # single readback
+            self._packed_ok = True
             metrics = dict(zip(self._metric_names, vals.tolist()))
             if debug_numerics and not np.isfinite(vals).all():
                 # numerics sanitizer (utils/sanitize.py): fail LOUDLY at the
@@ -234,6 +249,11 @@ class Trainer:
 
             (_, (new_buffers, metrics)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
+            # same metric key set as the packed step: a mid-run fallback to
+            # the split form must not change the logged schema
+            metrics = dict(metrics)
+            metrics["grad_norm"] = jnp.sqrt(sum(
+                jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads)))
             return grads, new_buffers, metrics
 
         self._grad_step = jax.jit(grad_step)
@@ -334,8 +354,7 @@ class Trainer:
             state = self.init_state(trainset[0][1],
                                     seed=int(hp.get("init_seed") or 0))
         else:
-            self.optimizer = make_optimizer(
-                hp, max(hp["train_split"][0], 1))
+            self.optimizer = make_optimizer(hp, self._steps_per_epoch())
         self._build_steps()
 
         if num_sanity_val_steps:
@@ -416,6 +435,13 @@ class Trainer:
                     step_i += 1
                     self.logger.log(metrics, step=step_i, epoch=epoch)
             else:
+                if bs > 1:
+                    # the accumulation path trains through the unsharded
+                    # _grad_step -- silently bypassing a data-axis mesh
+                    raise ValueError(
+                        "accumulate_grad_batches>1 is not supported with "
+                        "mesh_shape.data>1 (the accumulation path would "
+                        "bypass the data-sharded step)")
                 acc = None
                 since = 0
                 for i in order:
@@ -509,14 +535,25 @@ class Trainer:
                 first = preprocess_event(next(loader), hp, rng=rng)
                 state = self.init_state(jax.tree.map(jnp.asarray, first))
             self._build_steps()
+            # data-axis mesh: each sharded step consumes `bs` stacked events
+            # (same contract as the fit loop's micro-batch path)
+            bs = int(getattr(self, "_step_batch", 1) or 1)
+            if bs > 1:
+                from hierarchicalgnn_tpu.parallel.step import stack_events
             best = -1.0
             step_i = int(state.step)
             for epoch in range(max_epochs):
                 t0 = time.time()
                 for _ in range(steps_per_epoch):
-                    raw = next(loader)
-                    batch = jax.tree.map(
-                        jnp.asarray, preprocess_event(raw, hp, rng=rng))
+                    if bs == 1:
+                        batch = jax.tree.map(
+                            jnp.asarray,
+                            preprocess_event(next(loader), hp, rng=rng))
+                    else:
+                        batch = stack_events([
+                            jax.tree.map(jnp.asarray, preprocess_event(
+                                next(loader), hp, rng=rng))
+                            for _ in range(bs)])
                     state, metrics = self._train_step(state, batch, epoch)
                     step_i += 1
                     self.logger.log(metrics, step=step_i, epoch=epoch)
@@ -535,8 +572,8 @@ class Trainer:
     def test(self, state: TrainState, raw_events: Sequence[dict]):
         _, _, testset = self.make_datasets(raw_events)
         if self._val_forward is None:
-            self.optimizer = make_optimizer(
-                self.hparams, max(self.hparams["train_split"][0], 1))
+            self.optimizer = make_optimizer(self.hparams,
+                                            self._steps_per_epoch())
             self._build_steps()
         metrics = self.validate(state, testset, epoch=10 ** 9)
         self.logger.log(metrics, step=-1, prefix="test_", force_print=True)

@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 from hierarchicalgnn_tpu import run as cli
 
 TINY_SETS = [
@@ -37,6 +39,7 @@ def test_cli_train_resume_test(tmp_path, capsys):
     assert "track_eff" in metrics
 
 
+@pytest.mark.slow
 def test_cli_transfer(tmp_path):
     src = str(tmp_path / "bc")
     dst = str(tmp_path / "gmrt")
