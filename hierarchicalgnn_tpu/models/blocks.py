@@ -320,7 +320,10 @@ class HierarchicalGNNBlock(nn.Module):
             from hierarchicalgnn_tpu.parallel.graph_shard import (
                 make_hier_shard_aggs)
 
-            aggs, gathers = make_hier_shard_aggs(
+            # Pallas mode re-expresses the replicated super graph in
+            # receiver-sorted order -- downstream superedge init/gathers
+            # must use the returned graph/weights.
+            aggs, gathers, super_graph, super_weights = make_hier_shard_aggs(
                 shard, bipartite_graph, bipartite_weights,
                 super_graph, super_weights, cfg.max_clusters,
                 cfg.bipartitegraph_sparsity)
@@ -421,12 +424,14 @@ class HierarchicalGNNBlock(nn.Module):
         if self.emb_output:
             # f32 island like the IN-block embedding head (see there): the
             # final embeddings feed hinge distances and HDBSCAN clustering.
+            # cfg.emb_head_dtype covers BOTH embedding heads so the bf16-
+            # heads ablation variant is complete for the embedding pipelines.
             output_layer = MLP(
                 hidden_size=cfg.hidden, output_size=cfg.emb_dim,
                 hidden_layers=cfg.output_layers, layer_norm=cfg.layernorm,
                 output_activation=None,
                 hidden_activation=cfg.hidden_output_activation,
-                compute_dtype=None)
+                compute_dtype=cfg.emb_head_dtype)
             out_embeddings = l2_normalize(
                 output_layer(nodes).astype(jnp.float32))
             return out_embeddings, aux

@@ -60,8 +60,9 @@ class SpmdSpec(NamedTuple):
 
     axis: str = "graph"
     n_parts: int = 1
-    slack: float = 2.0      # per-device edge capacity head-room
+    slack: float = 1.5      # per-device edge capacity head-room
     use_pallas: bool = False
+    halo_backend: str = "xla"   # "xla" (lax.all_gather) | "rdma" (Pallas ring)
 
 
 class ShardTools(NamedTuple):
@@ -97,9 +98,15 @@ def partition_edges(graph: Graph, num_nodes: int, spec: SpmdSpec):
     """
     e = graph.capacity
     n_parts = spec.n_parts
-    # BLOCK_E-aligned so per-shard Pallas plans need no internal repadding
+    # BLOCK_E-aligned so per-shard Pallas plans need no internal repadding.
+    # Capped at the full (padded) edge capacity: per-device edge work scales
+    # directly with e_cap, and a device can never own more than every edge
+    # -- without the cap, slack made the 1-chip sharded step process a
+    # slack-times-larger edge buffer than the unsharded step (the bulk of
+    # the round-3 80% partition overhead, benchmarks/scaling_r03.json).
     from hierarchicalgnn_tpu.ops.pallas.sorted_agg import BLOCK_E
     e_cap = _round_up(max(int(e * spec.slack) // n_parts, BLOCK_E), BLOCK_E)
+    e_cap = min(e_cap, _round_up(e, BLOCK_E))
     block = num_nodes // n_parts
 
     big = jnp.int32(num_nodes)  # sorts padded edges past every owner
@@ -150,15 +157,36 @@ def make_shard_tools(directed: Graph, n_local: int, spec: SpmdSpec) -> ShardTool
     )
     r_local = local.receivers - idx * n_local
 
-    def all_gather(x_local):
-        return jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+    if spec.halo_backend == "rdma" and spec.n_parts > 1:
+        # Hand-scheduled bidirectional ICI ring (both ports at once,
+        # ceil((P-1)/2) steps, double-buffered) -- see ops/pallas/
+        # ring_gather.py.  Falls back to the XLA collective for shapes the
+        # kernel's VMEM tiles can't take (1-D masks, unaligned blocks).
+        from hierarchicalgnn_tpu.ops.pallas.ring_gather import ring_all_gather
+
+        interp_r = jax.default_backend() != "tpu"
+
+        def _aligned(x):
+            if x.ndim != 2 or x.dtype not in (jnp.float32, jnp.bfloat16):
+                return False
+            sub = 16 if x.dtype == jnp.bfloat16 else 8
+            return x.shape[0] % sub == 0 and x.shape[1] % 128 == 0
+
+        def all_gather(x_local):
+            if _aligned(x_local):
+                return ring_all_gather(x_local, axis, spec.n_parts, interp_r)
+            return jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+    else:
+        def all_gather(x_local):
+            return jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
 
     if spec.use_pallas:
         # Per-shard sorted-native plan: the local edges are already
         # receiver-sorted by construction, so the plan's sort is the
         # identity permutation and edge tensors stay aggregation-ready.
         from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
-            build_sorted_plan, sorted_aggregate)
+            build_sorted_plan, build_transposed_plan, gather_edge_endpoints,
+            sorted_aggregate)
 
         plan = build_sorted_plan(local.senders, r_local, local.edge_mask,
                                  n_local)
@@ -166,14 +194,30 @@ def make_shard_tools(directed: Graph, n_local: int, spec: SpmdSpec) -> ShardTool
 
         def agg(data):
             return sorted_aggregate(data, plan, interp)
+
+        # Kernel-backed halo gather: same identity-permutation property,
+        # but with GLOBAL ids (num_segments = N) so the backward's two
+        # scatter-adds ride the MXU kernel into the [N, D] cotangent that
+        # the all_gather VJP (psum_scatter) then reduces -- the XLA
+        # scatter here measured ~2x the aggregation kernel unsharded.
+        gplan = build_sorted_plan(local.senders, local.receivers,
+                                  local.edge_mask, num_nodes)
+        gplan_t, g_r2s = build_transposed_plan(
+            gplan, local.senders, local.receivers, local.edge_mask,
+            num_nodes)
+
+        def gather(x_local):
+            x_all = all_gather(x_local)
+            return gather_edge_endpoints(x_all, gplan, gplan_t, g_r2s,
+                                         interp)
     else:
         def agg(data):
             return segment_sum(data, r_local, n_local, mask=local.edge_mask,
                                indices_are_sorted=True)
 
-    def gather(x_local):
-        x_all = all_gather(x_local)
-        return x_all[local.senders], x_all[local.receivers]
+        def gather(x_local):
+            x_all = all_gather(x_local)
+            return x_all[local.senders], x_all[local.receivers]
 
     return ShardTools(spec=spec, index=idx, n_local=n_local,
                       full_graph=directed, local_graph=local, slot=slot,
@@ -205,14 +249,62 @@ def make_hier_shard_aggs(shard: ShardTools, bgraph: Graph, bweights,
     the bipartite node->supernode reduction + ONE all_gather([N, D]) halo for
     the edge update -- everything else is local or replicated (survey §2.4
     hard part: the 4-way node<->supernode traffic).
+
+    In Pallas mode the bipartite/super convolutions ride the same
+    fused-weight sorted-native MXU kernels as the unsharded fast path (the
+    XLA scatter formulation here measured 5.4x slower -- docs/DESIGN.md);
+    the (replicated) super graph is re-expressed in receiver-sorted order,
+    so callers must use the RETURNED (sgraph, sweights).
+
+    Returns (aggs, gathers, sgraph, sweights).
     """
     axis = shard.spec.axis
     n_local = shard.n_local
     b_send_l, b_sup_l, b_m_l, b_w_l = bipartite_local_slice(
         shard, bgraph, bweights, k)
+
+    if shard.spec.use_pallas:
+        from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
+            build_sorted_plan, build_transposed_plan, gather_edge_endpoints,
+            sorted_aggregate_weighted)
+
+        interp = jax.default_backend() != "tpu"
+        # replicated super space: identical treatment to the unsharded path
+        s_plan = build_sorted_plan(sgraph.senders, sgraph.receivers,
+                                   sgraph.edge_mask, max_clusters)
+        s_plan_t, s_r2s = build_transposed_plan(
+            s_plan, sgraph.senders, sgraph.receivers, sgraph.edge_mask,
+            max_clusters)
+        sgraph = Graph(s_plan.senders_sorted, s_plan.receivers_sorted,
+                       s_plan.edge_mask_sorted)
+        sweights = s_plan.sort(sweights)
+        # local bipartite slice, one receiver-sorted plan per direction
+        p_bs = build_sorted_plan(b_send_l, b_sup_l, b_m_l, max_clusters)
+        p_bn = build_sorted_plan(b_sup_l, b_send_l, b_m_l, n_local)
+        w_bs = p_bs.sort(b_w_l)
+        w_bn = p_bn.sort(b_w_l)
+
+        aggs = {
+            "edge_to_node": shard.agg,
+            "bip_to_super": (
+                lambda d: jax.lax.psum(
+                    sorted_aggregate_weighted(d, w_bs, p_bs, interp), axis),
+                p_bs.senders_sorted),
+            "bip_to_node": (
+                lambda d: sorted_aggregate_weighted(d, w_bn, p_bn, interp),
+                p_bn.senders_sorted),
+            "super_to_super": lambda d: sorted_aggregate_weighted(
+                d, sweights, s_plan, interp),
+        }
+        gathers = {
+            "graph": shard.gather,
+            "super": lambda x: gather_edge_endpoints(
+                x, s_plan, s_plan_t, s_r2s, interp),
+        }
+        return aggs, gathers, sgraph, sweights
+
     bw = jnp.where(b_m_l[:, None], b_w_l, 0.0)
     sw = jnp.where(sgraph.edge_mask[:, None], sweights, 0.0)
-
     aggs = {
         "edge_to_node": shard.agg,
         "bip_to_super": (
@@ -229,7 +321,7 @@ def make_hier_shard_aggs(shard: ShardTools, bgraph: Graph, bweights,
         "graph": shard.gather,
         "super": lambda x: (x[sgraph.senders], x[sgraph.receivers]),
     }
-    return aggs, gathers
+    return aggs, gathers, sgraph, sweights
 
 
 # ---------------------------------------------------------------------------
@@ -281,8 +373,9 @@ def make_sharded_train_step(pipeline, optimizer, mesh: Mesh, hparams: dict,
     name = hparams["model"]
     n_parts = mesh.shape[graph_axis]
     spec = SpmdSpec(axis=graph_axis, n_parts=n_parts,
-                    slack=float(hparams.get("halo_slack", 2.0)),
-                    use_pallas=bool(hparams.get("use_pallas", False)))
+                    slack=float(hparams.get("halo_slack", 1.5)),
+                    use_pallas=bool(hparams.get("use_pallas", False)),
+                    halo_backend=str(hparams.get("halo_backend", "xla")))
     d_ax = data_axis if data_axis in mesh.shape else None
 
     def per_event(params, buffers, x, node_mask, graph):
@@ -339,8 +432,9 @@ def make_sharded_forward(pipeline, mesh: Mesh, hparams: dict,
     model = pipeline.model
     name = hparams["model"]
     spec = SpmdSpec(axis=graph_axis, n_parts=mesh.shape[graph_axis],
-                    slack=float(hparams.get("halo_slack", 2.0)),
-                    use_pallas=bool(hparams.get("use_pallas", False)))
+                    slack=float(hparams.get("halo_slack", 1.5)),
+                    use_pallas=bool(hparams.get("use_pallas", False)),
+                    halo_backend=str(hparams.get("halo_backend", "xla")))
 
     def body(params, buffers, x, node_mask, graph):
         variables = {"params": params, **buffers}
