@@ -177,7 +177,7 @@ def bench_spmm(seed=0):
     return {
         "f32": N_EDGES / t_agg,
         "bf16": N_EDGES / t_bf16 if t_bf16 else None,
-    }
+    }, (plan, data_sorted)
 
 
 def bench_xla_baseline(seed=0):
@@ -210,12 +210,28 @@ def bench_xla_baseline(seed=0):
     return N_EDGES / t_xla
 
 
-def bench_sddmm(seed=0):
-    """edge_cosine_likelihood throughput (the clustering SDDMM, reference
-    ``Modules/BipartiteClassification/Models/HGNN_GMM.py:188``) plus a
-    latent-width edge_dot (the dynamic-graph logits,
-    ``Modules/gnn_utils.py:208``)."""
+def bench_sddmm(spmm_arrays, seed=0):
+    """SDDMM throughputs at the framework's call-site formulations:
+
+    * ``cosine_emb8``: edge_cosine_likelihood, the f32-island clustering
+      likelihood (reference ``Modules/BipartiteClassification/Models/
+      HGNN_GMM.py:188``) -- two-gather XLA at emb_dim=8.
+    * ``dot_d256``: the sorted-native Pallas SDDMM kernel
+      (ops/pallas/sddmm_kernel.py) -- per-edge <edge_vec, row[receiver]>
+      at latent width over the receiver-sorted plan, the formulation the
+      framework actually executes (edge tensors live in plan order; this
+      is every weighted-convolution VJP's d_w and the kernel behind
+      edge-likelihood-style ops).  Reference parity target: the per-edge
+      einsum at ``Modules/gnn_utils.py:208``.
+    * ``dot_d256_xla_gather``: the reference-shaped two-random-gather XLA
+      formulation, kept for comparison (this was the only dot_d256 number
+      through round 3).
+    """
+    from hierarchicalgnn_tpu.ops.pallas.sddmm_kernel import sorted_sddmm
     from hierarchicalgnn_tpu.ops.sddmm import edge_cosine_likelihood, edge_dot
+
+    interpret = jax.default_backend() != "tpu"
+    plan, data_sorted = spmm_arrays
 
     @jax.jit
     def prep(key):  # on-device generation: see bench_spmm.prep
@@ -235,19 +251,27 @@ def bench_sddmm(seed=0):
             e * (1.0 + i.astype(jnp.float32) * 1e-6), s, r, mask=m)
         return out[0]
 
-    def dot_op(i, fe, s, r, m):
+    def dot_kernel_op(i, d, rows, pl):
+        rows = rows * (1.0 + i.astype(jnp.float32) * 1e-6)
+        return sorted_sddmm(d, rows, pl, interpret)[0]
+
+    def dot_xla_op(i, fe, s, r, m):
         out = edge_dot(fe * (1.0 + i.astype(jnp.float32) * 1e-6), fe,
                        s, r, mask=m)
         return out[0]
 
     t_cos = _time_op(cos_op, "sddmm/cosine-emb8", emb, senders, receivers,
                      mask)
-    t_dot = None
+    t_dot = t_xla = None
     if _elapsed() < GUARD_S + 60:
-        t_dot = _time_op(dot_op, f"sddmm/dot-d{DIM}", feat, senders,
+        t_dot = _time_op(dot_kernel_op, f"sddmm/dot-d{DIM}-kernel",
+                         data_sorted, feat, plan)
+    if _elapsed() < GUARD_S + 60:
+        t_xla = _time_op(dot_xla_op, f"sddmm/dot-d{DIM}-xla", feat, senders,
                          receivers, mask)
     return {"cosine_emb8": N_EDGES / t_cos,
-            f"dot_d{DIM}": N_EDGES / t_dot if t_dot else None}
+            f"dot_d{DIM}": N_EDGES / t_dot if t_dot else None,
+            f"dot_d{DIM}_xla_gather": N_EDGES / t_xla if t_xla else None}
 
 
 _REPORT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -271,11 +295,19 @@ def _xla_baseline_subprocess():
         _status(f"xla subprocess rc={out.returncode}: {out.stderr[-300:]}")
     except subprocess.TimeoutExpired:
         _status("xla subprocess timed out")
-    try:  # fall back to the last successful measurement
+    try:  # fall back to the last successful measurement -- but only when
+        # it was taken on the same backend and shape (a CPU-run or
+        # different-shape cache entry would silently skew the headline)
         with open(_REPORT_PATH) as f:
-            prev = json.load(f)["spmm_edges_per_s"]["xla_f32"]
-        if prev:
+            doc = json.load(f)
+        prev = doc["spmm_edges_per_s"]["xla_f32"]
+        shape_now = {"n_nodes": N_NODES, "n_edges": N_EDGES, "dim": DIM}
+        if prev and doc.get("backend") == jax.default_backend() \
+                and doc.get("shape") == shape_now:
             return float(prev), "cached_previous_run"
+        if prev:
+            _status("cached xla baseline is from a different backend/shape; "
+                    "refusing it")
     except Exception:
         pass
     return None, "unavailable"
@@ -287,13 +319,13 @@ def main():
         print(json.dumps({"xla_f32": bench_xla_baseline()}), flush=True)
         return
 
-    spmm = bench_spmm()
+    spmm, spmm_arrays = bench_spmm()
     # Guard BEFORE committing to more remote compiles: the headline metric
     # must print even on a degraded compile service.
     sddmm = None
     if _elapsed() < GUARD_S:
         try:
-            sddmm = bench_sddmm()
+            sddmm = bench_sddmm(spmm_arrays)
         except Exception as e:  # never lose the headline to a side metric
             _status(f"sddmm failed: {e!r}")
     else:
@@ -322,6 +354,8 @@ def main():
         "bf16_edges_per_s": rnd(spmm["bf16"]),
         "sddmm_cosine_edges_per_s": rnd(sddmm["cosine_emb8"]) if sddmm
         else None,
+        "sddmm_dot_d256_edges_per_s": rnd(sddmm.get(f"dot_d{DIM}"))
+        if sddmm else None,
     }), flush=True)
 
 

@@ -24,7 +24,7 @@ from flax import linen as nn
 from hierarchicalgnn_tpu.ops.knn import knn as knn_query
 from hierarchicalgnn_tpu.ops.knn import knn_to_edges
 from hierarchicalgnn_tpu.ops.graph import Graph, symmetrize
-from hierarchicalgnn_tpu.ops.sddmm import edge_dot
+from hierarchicalgnn_tpu.ops.sddmm import edge_dot, edge_dot_from_knn
 from hierarchicalgnn_tpu.models.mlp import MaskedBatchNorm
 
 
@@ -53,24 +53,36 @@ class DynamicGraphConstruction(nn.Module):
         src = jax.lax.stop_gradient(src_embeddings)
         dst = jax.lax.stop_gradient(dst_embeddings)
 
-        idx, _ = knn_query(src, dst, self.k, knn_radius.value[0],
-                           q_mask=src_mask, p_mask=dst_mask,
-                           block_size=self.knn_block_size)
+        idx, d2 = knn_query(src, dst, self.k, knn_radius.value[0],
+                            q_mask=src_mask, p_mask=dst_mask,
+                            block_size=self.knn_block_size)
         senders, receivers, emask = knn_to_edges(idx)
         graph = Graph(senders, receivers, emask)
+        d2_flat = d2.reshape(-1)
         if self.sym:
             graph = symmetrize(graph)
 
         if training and not self.is_initializing():
-            # EMA of the max neighbor distance (reference :203-205).
-            d = src[graph.senders] - dst[graph.receivers]
-            dist = jnp.sqrt(jnp.sum(jnp.square(d), -1))
-            max_dist = jnp.max(jnp.where(graph.edge_mask, dist, 0.0))
-            knn_radius.value = 0.9 * knn_radius.value + 0.11 * max_dist
+            # EMA of the max neighbor distance (reference :203-205) -- from
+            # the kNN's own d2 output, no endpoint row gather.  Distances
+            # are symmetric, so the max over the symmetrized graph equals
+            # the max over the raw kNN edges.
+            max_d2 = jnp.max(jnp.where(emask, d2_flat, 0.0))
+            knn_radius.value = (0.9 * knn_radius.value
+                                + 0.11 * jnp.sqrt(max_d2))
 
         # Differentiable edge weights from endpoint dot products (:207-213).
-        likelihood = edge_dot(src_embeddings, dst_embeddings,
-                              graph.senders, graph.receivers)
+        # Unsymmetrized graphs keep the kNN edge order, so the dot is
+        # algebra on the kNN's d2 byproduct (edge_dot_from_knn): the MXU
+        # already computed every candidate dot while ranking neighbors, and
+        # the [E, latent] endpoint row gathers vanish from the forward.
+        if self.sym:
+            likelihood = edge_dot(src_embeddings, dst_embeddings,
+                                  graph.senders, graph.receivers)
+        else:
+            likelihood = edge_dot_from_knn(
+                src_embeddings, dst_embeddings, graph.senders,
+                graph.receivers, graph.edge_mask, d2_flat)
         logits = weight_normalization(likelihood, graph.edge_mask, training)
         if self.weighting_function == "sigmoid":
             weights = jax.nn.sigmoid(logits)

@@ -217,14 +217,22 @@ def _sorted_agg_fwd(data_sorted, seg_rep, chunk_base, n_chunks,
     # zero-size prototype records the (possibly sub-f32) input dtype so the
     # cotangent matches the primal when data rides the kernel in bf16
     proto = jnp.zeros((0,), data_sorted.dtype)
-    return out, (receivers_sorted, mask_sorted, proto)
+    return out, (seg_rep, chunk_base, n_chunks, receivers_sorted,
+                 mask_sorted, proto)
 
 
 def _sorted_agg_bwd(num_segments, block_r, block_e, c_max, interpret,
                     residuals, g):
-    receivers_sorted, mask_sorted, proto = residuals
-    idx = jnp.minimum(receivers_sorted, num_segments - 1)
-    grad = jnp.where(mask_sorted[:, None], g[idx], 0.0).astype(proto.dtype)
+    # cotangent[e] = g[recv(e)]: the receiver-row gather rides the one-hot
+    # MXU kernel (rows stream once per group) instead of an XLA row gather
+    from hierarchicalgnn_tpu.ops.pallas.sddmm_kernel import scaled_gather_raw
+
+    seg_rep, chunk_base, n_chunks, receivers_sorted, mask_sorted, proto = \
+        residuals
+    grad = scaled_gather_raw(
+        None, g, seg_rep, chunk_base, n_chunks, receivers_sorted,
+        mask_sorted, jnp.asarray(False), num_segments, block_r, block_e,
+        c_max, interpret).astype(proto.dtype)
     return grad, None, None, None, None, None
 
 
@@ -341,13 +349,17 @@ def _sorted_weighted_fwd(data_sorted, weights_sorted, plan, interpret):
 
 
 def _sorted_weighted_bwd(interpret, residuals, g):
+    # d_data[e] = w_e * g[recv(e)]   -> scaled-gather one-hot MXU kernel
+    # d_w[e]    = <g[recv(e)], d_e>  -> sorted SDDMM kernel
+    # (both previously an XLA row gather + elementwise, the dominant cost
+    # of every weighted-convolution backward at TrackML scale)
+    from hierarchicalgnn_tpu.ops.pallas.sddmm_kernel import (
+        scaled_gather, sorted_sddmm)
+
     data_sorted, weights_sorted, plan = residuals
-    idx = jnp.minimum(plan.receivers_sorted, plan.num_segments - 1)
-    ge = jnp.where(plan.edge_mask_sorted[:, None], g[idx], 0.0)
-    w = weights_sorted.reshape(weights_sorted.shape[0])
-    d_data = (ge * w[:, None].astype(jnp.float32)).astype(data_sorted.dtype)
-    d_w = jnp.sum(ge * data_sorted.astype(jnp.float32), axis=-1)
-    d_w = jnp.where(plan.edge_mask_sorted, d_w, 0.0)
+    w = weights_sorted.reshape(weights_sorted.shape[0]).astype(jnp.float32)
+    d_data = scaled_gather(w, g, plan, interpret).astype(data_sorted.dtype)
+    d_w = sorted_sddmm(data_sorted, g, plan, interpret)
     d_w = d_w.reshape(weights_sorted.shape).astype(weights_sorted.dtype)
     return d_data, d_w, None
 

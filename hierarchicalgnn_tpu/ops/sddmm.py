@@ -23,6 +23,51 @@ def edge_dot(src_features, dst_features, senders, receivers, mask=None):
     return out
 
 
+@jax.custom_vjp
+def edge_dot_from_knn(src_features, dst_features, senders, receivers, mask,
+                      d2):
+    """Per-edge <src_row, dst_row> recovered from the kNN's own distance
+    byproduct -- zero forward gathers.
+
+    The blockwise-MXU kNN (:mod:`ops.knn`) computes every candidate dot on
+    the MXU to rank neighbors and returns the squared distance d2 =
+    |s|^2 + |d|^2 - 2<s,d> of each selected edge; so the logits the
+    reference recomputes with a gathered einsum
+    (``Modules/gnn_utils.py:208``) are pure algebra here:
+    <s,d> = (|s|^2 + |d|^2 - d2)/2 -- two [E] scalar gathers instead of two
+    [E, latent] row gathers.  ``d2`` must be the (stop-gradient) kNN output
+    for exactly these edges; the custom VJP supplies the true dot gradient
+    (d_src[s] += g * dst[r], d_dst[r] += g * src[s]), so gradients match
+    :func:`edge_dot` while the forward row traffic disappears.
+    """
+    out, _ = _edot_knn_fwd(src_features, dst_features, senders, receivers,
+                           mask, d2)
+    return out
+
+
+def _edot_knn_fwd(src, dst, senders, receivers, mask, d2):
+    sqn_s = jnp.sum(jnp.square(src.astype(jnp.float32)), axis=-1)
+    sqn_d = jnp.sum(jnp.square(dst.astype(jnp.float32)), axis=-1)
+    out = 0.5 * (sqn_s[senders] + sqn_d[receivers] - d2)
+    out = jnp.where(mask, out, 0.0)
+    return out, (src, dst, senders, receivers, mask)
+
+
+def _edot_knn_bwd(residuals, g):
+    src, dst, senders, receivers, mask = residuals
+    g = jnp.where(mask, g, 0.0)
+    d_src = (jnp.zeros(src.shape, jnp.float32)
+             .at[senders].add(g[:, None] * dst.astype(jnp.float32)[receivers])
+             ).astype(src.dtype)
+    d_dst = (jnp.zeros(dst.shape, jnp.float32)
+             .at[receivers].add(g[:, None] * src.astype(jnp.float32)[senders])
+             ).astype(dst.dtype)
+    return d_src, d_dst, None, None, None, None
+
+
+edge_dot_from_knn.defvjp(_edot_knn_fwd, _edot_knn_bwd)
+
+
 def edge_squared_distance(src_features, dst_features, senders, receivers,
                           mask=None, eps: float = 0.0):
     """Per-edge squared Euclidean distance (+eps), masked to 0."""
