@@ -385,32 +385,54 @@ def make_sharded_train_step(pipeline, optimizer, mesh: Mesh, hparams: dict,
             mutable=MUTABLE, spmd=spec)
         return out, dict(new_vars)
 
-    def body(params, buffers, x, node_mask, graph):
-        return jax.vmap(per_event, in_axes=(None, None, 0, 0, 0))(
-            params, buffers, x, node_mask, graph)
-
     rep = P()
-    node_spec = P(d_ax, graph_axis)
-    ev_rep = P(d_ax)
-    fwd = shard_map(
-        body, mesh=mesh,
-        in_specs=(rep, rep, node_spec, node_spec, ev_rep),
-        out_specs=(_model_out_specs(name, graph_axis, d_ax, batched=True),
-                   ev_rep),
-        check_vma=False,
-    )
+    data_size = mesh.shape.get(data_axis, 1) if d_ax else 1
+    if data_size == 1:
+        # B=1 specialization: run per_event directly on the squeezed event.
+        # vmap-over-one-event is NOT free here -- the flagship anchor
+        # measured the batched wrapper at +87 ms/step (21%) while
+        # grad(loss) itself matched the unsharded program within 1.5%
+        # (benchmarks/scaling_r04.json phase ladder).
+        fwd = shard_map(
+            per_event, mesh=mesh,
+            in_specs=(rep, rep, P(graph_axis), P(graph_axis), rep),
+            out_specs=(_model_out_specs(name, graph_axis), rep),
+            check_vma=False,
+        )
 
-    def batched_loss(params, buffers, batch, epoch):
-        out, new_buffers = fwd(params, buffers, batch.x, batch.node_mask,
-                               batch.graph)
+        def batched_loss(params, buffers, batch, epoch):
+            ev = jax.tree.map(lambda a: a[0], batch)
+            out, new_buffers = fwd(params, buffers, ev.x, ev.node_mask,
+                                   ev.graph)
+            loss, metrics = pipeline.loss_from_outputs(out, ev, epoch)
+            return loss, (new_buffers, metrics)
+    else:
+        def body(params, buffers, x, node_mask, graph):
+            return jax.vmap(per_event, in_axes=(None, None, 0, 0, 0))(
+                params, buffers, x, node_mask, graph)
 
-        def one(o, ev):
-            return pipeline.loss_from_outputs(o, ev, epoch)
+        node_spec = P(d_ax, graph_axis)
+        ev_rep = P(d_ax)
+        fwd = shard_map(
+            body, mesh=mesh,
+            in_specs=(rep, rep, node_spec, node_spec, ev_rep),
+            out_specs=(_model_out_specs(name, graph_axis, d_ax,
+                                        batched=True), ev_rep),
+            check_vma=False,
+        )
 
-        losses, mets = jax.vmap(one)(out, batch)
-        new_buffers = jax.tree.map(lambda b: jnp.mean(b, axis=0), new_buffers)
-        metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), mets)
-        return jnp.mean(losses), (new_buffers, metrics)
+        def batched_loss(params, buffers, batch, epoch):
+            out, new_buffers = fwd(params, buffers, batch.x,
+                                   batch.node_mask, batch.graph)
+
+            def one(o, ev):
+                return pipeline.loss_from_outputs(o, ev, epoch)
+
+            losses, mets = jax.vmap(one)(out, batch)
+            new_buffers = jax.tree.map(lambda b: jnp.mean(b, axis=0),
+                                       new_buffers)
+            metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), mets)
+            return jnp.mean(losses), (new_buffers, metrics)
 
     def train_step(state: TrainState, batch, epoch):
         (loss, (new_buffers, metrics)), grads = jax.value_and_grad(

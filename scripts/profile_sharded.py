@@ -175,30 +175,71 @@ def main():
     results["partition_machinery_ms"] = round(dt_part * 1e3, 2)
     _status(f"partition machinery: {dt_part * 1e3:.1f} ms")
 
-    # 2. sharded forward only
-    fwd_sharded = make_sharded_forward(pipeline, mesh, hparams)
+    # 2-4. forward / loss / grad(loss) rungs, sharded vs unsharded.
+    # Every rung's input x is scaled by a carry-dependent factor so the
+    # computation cannot be hoisted out of the timing loop (a stateless
+    # body IS hoisted: grad rungs first measured equal to loss rungs).
+    from hierarchicalgnn_tpu.train.pipelines import MUTABLE
+    from hierarchicalgnn_tpu.parallel.graph_shard import _model_out_specs
 
-    def fwd_shard_step(carry):
-        acc, = carry
-        out = fwd_sharded(state0.params, state0.buffers, ev.x, ev.node_mask,
-                          ev.graph)
-        return (acc + jnp.sum(out[1]),)
+    def sh_body(params, buffers, x, node_mask, graph):
+        out, new_vars = model.apply(
+            {"params": params, **buffers}, x, graph, node_mask=node_mask,
+            training=True, mutable=MUTABLE, spmd=spec)
+        return out, dict(new_vars)
 
-    _status("timing sharded forward")
-    dt_fwd_s = _timed_carry(fwd_shard_step, (jnp.zeros(()),), args.steps)
-    results["sharded_forward_ms"] = round(dt_fwd_s * 1e3, 2)
+    sh_fwd = shard_map(
+        sh_body, mesh=mesh,
+        in_specs=(P(), P(), P("graph"), P("graph"), P()),
+        out_specs=(_model_out_specs(hparams["model"], "graph"), P()),
+        check_vma=False)
 
-    # 3. unsharded forward only
-    def fwd_plain_step(carry):
-        acc, = carry
-        variables = {"params": state0.params, **state0.buffers}
-        out = model.apply(variables, ev.x, ev.graph,
+    def sh_loss(params, x):
+        out, _ = sh_fwd(params, state0.buffers, x, ev.node_mask, ev.graph)
+        loss, _ = pipeline.loss_from_outputs(out, ev, 0)
+        return loss
+
+    def un_loss(params, x):
+        loss, _ = pipeline.loss(params, state0.buffers,
+                                ev._replace(x=x), 0, training=True)
+        return loss
+
+    def sh_forward(params, x):
+        out, _ = sh_fwd(params, state0.buffers, x, ev.node_mask, ev.graph)
+        return jnp.sum(out[1])
+
+    def un_forward(params, x):
+        variables = {"params": params, **state0.buffers}
+        out = model.apply(variables, x, ev.graph,
                           node_mask=ev.node_mask, training=False)
-        return (acc + jnp.sum(out[1]),)
+        return jnp.sum(out[1])
 
-    _status("timing unsharded forward")
-    dt_fwd_p = _timed_carry(fwd_plain_step, (jnp.zeros(()),), args.steps)
-    results["unsharded_forward_ms"] = round(dt_fwd_p * 1e3, 2)
+    rungs = (
+        ("sharded_forward", sh_forward),
+        ("unsharded_forward", un_forward),
+        ("sharded_loss", sh_loss),
+        ("unsharded_loss", un_loss),
+        # consume EVERY grad leaf: reading one leaf lets XLA dead-code
+        # -eliminate the rest of the backward (measured grad==loss).
+        ("sharded_gradloss",
+         lambda p, x: sum(jnp.sum(l) for l in
+                          jax.tree.leaves(jax.grad(sh_loss)(p, x)))),
+        ("unsharded_gradloss",
+         lambda p, x: sum(jnp.sum(l) for l in
+                          jax.tree.leaves(jax.grad(un_loss)(p, x)))),
+    )
+    for label, fn in rungs:
+        def rung(carry, fn=fn):
+            acc, = carry
+            x = ev.x * (1.0 + acc * 1e-20)  # carry-dependent: no hoisting
+            return (acc + fn(state0.params, x).astype(jnp.float32),)
+
+        _status(f"timing {label}")
+        dt = _timed_carry(rung, (jnp.zeros(()),), args.steps)
+        results[f"{label}_ms"] = round(dt * 1e3, 2)
+        _status(f"{label}: {dt * 1e3:.1f} ms")
+    dt_fwd_s = results["sharded_forward_ms"] / 1e3
+    dt_fwd_p = results["unsharded_forward_ms"] / 1e3
 
     overhead = (dt_shard / dt_plain - 1.0) * 100
     result = {
@@ -222,6 +263,10 @@ def main():
             "partition_machinery": results["partition_machinery_ms"],
             "sharded_forward": results["sharded_forward_ms"],
             "unsharded_forward": results["unsharded_forward_ms"],
+            "sharded_loss": results.get("sharded_loss_ms"),
+            "unsharded_loss": results.get("unsharded_loss_ms"),
+            "sharded_gradloss": results.get("sharded_gradloss_ms"),
+            "unsharded_gradloss": results.get("unsharded_gradloss_ms"),
             "sharded_loss_backward_optim": round(
                 (dt_shard - dt_fwd_s) * 1e3, 2),
             "unsharded_loss_backward_optim": round(
