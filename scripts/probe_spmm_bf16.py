@@ -130,6 +130,78 @@ def _kernel_buildonly(cb_ref, nch_ref, seg_ref, w_ref, data_ref, out_ref, *,
             out_ref.dtype) + data_ref[0:out_ref.shape[0], 0:1] * 0.0
 
 
+def _kernel_pipelined(cb_ref, nch_ref, seg_ref, w_ref, data_ref, out_ref,
+                      wmat, *, block_r):
+    """Software-pipelined fused-weight aggregation: step (g, c) builds the
+    weighted one-hot for chunk c on the VPU while the MXU multiplies chunk
+    c-1's one-hot (double-buffered scratch).  The two halves touch
+    different scratch slots and different input blocks, so Mosaic can
+    overlap them -- the shipped kernel serializes build -> matmul inside
+    each step.  Grid is (n_groups, c_max + 1): one drain step per group."""
+    g = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(c < nch_ref[g])
+    def _():
+        seg = seg_ref[0, 0:1, :] - g * block_r
+        w = w_ref[0, 0:1, :]
+        block_e = seg.shape[1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_r, block_e), 0)
+        onehot = jnp.broadcast_to(seg, (block_r, block_e)) == rows
+        wmat[c % 2] = jnp.where(
+            onehot, jnp.broadcast_to(w, (block_r, block_e)),
+            0.0).astype(wmat.dtype)
+
+    @pl.when((c > 0) & (c - 1 < nch_ref[g]))
+    def _():
+        out_ref[:] += jax.lax.dot_general(
+            wmat[(c - 1) % 2], data_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+
+def _run_pipelined(plan, data, w_rep, block_r, block_e, c_max,
+                   interpret=False):
+    e_pad, d = data.shape
+    n_groups = -(-plan.num_segments // block_r)
+    n_rows = n_groups * block_r
+    n_blocks = e_pad // block_e
+
+    def bidx(g, c, cb, nch):       # chunk c's block (build side)
+        return jnp.minimum(cb[g] + jnp.minimum(c, nch[g] - 1), n_blocks - 1)
+
+    def bidx_prev(g, c, cb, nch):  # chunk c-1's block (matmul side)
+        cp = jnp.maximum(c - 1, 0)
+        return jnp.minimum(cb[g] + jnp.minimum(cp, nch[g] - 1), n_blocks - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups, c_max + 1),
+        in_specs=[
+            pl.BlockSpec((1, 8, block_e),
+                         lambda g, c, cb, nch: (bidx(g, c, cb, nch), 0, 0)),
+            pl.BlockSpec((1, 8, block_e),
+                         lambda g, c, cb, nch: (bidx(g, c, cb, nch), 0, 0)),
+            pl.BlockSpec((block_e, d),
+                         lambda g, c, cb, nch: (bidx_prev(g, c, cb, nch), 0)),
+        ],
+        out_specs=pl.BlockSpec((block_r, d), lambda g, c, cb, nch: (g, 0)),
+        scratch_shapes=[pltpu.VMEM((2, block_r, block_e), data.dtype)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_pipelined, block_r=block_r),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
+        interpret=interpret,
+    )(plan.chunk_base, plan.n_chunks, plan.seg_rep, w_rep, data)
+    return out[:plan.num_segments]
+
+
 def _run_variant(kernel_body, plan, data, w_rep, block_r, block_e, c_max,
                  out_cols, scratch=False):
     e_pad, d = data.shape
@@ -240,21 +312,36 @@ def main():
             return out[0, 0]
         return op
 
-    if want("int16cmp"):
-        results["int16cmp"] = _time_op(
-            mk(_kernel_int16, DIM), "int16cmp", ds, w_rep, plan,
-            iters=args.iters)
-    if want("prebuilt"):
-        results["prebuilt"] = _time_op(
-            mk(_kernel_prebuilt, DIM, scratch=True), "prebuilt", ds, w_rep,
-            plan, iters=args.iters)
-    if want("buildonly"):
-        results["buildonly"] = _time_op(
-            mk(_kernel_buildonly, 1), "buildonly", ds, w_rep, plan,
-            iters=args.iters)
+    if want("pipelined"):
+        def pipe_op(i, d, wr, p):
+            d = d * (1.0 + i.astype(jnp.bfloat16) * 1e-3)
+            return _run_pipelined(p, d, wr, 256, 1024, p.c_max)[0, 0]
 
-    print(json.dumps({k: {"ms": round(v * 1e3, 3),
-                          "edges_per_s": round(N_EDGES / v)}
+        try:
+            results["pipelined"] = _time_op(pipe_op, "pipelined", ds, w_rep,
+                                            plan, iters=args.iters)
+        except Exception as e:
+            _status(f"pipelined failed: {str(e)[:200]}")
+            results["pipelined"] = None
+
+    # a crashing experimental variant must not lose the others (int16cmp
+    # hits a Mosaic relayout bug on the int16 broadcast-compare:
+    # "Invalid relayout ... vector<256x1024xi1>")
+    for name, body, cols, scr in (("int16cmp", _kernel_int16, DIM, False),
+                                  ("prebuilt", _kernel_prebuilt, DIM, True),
+                                  ("buildonly", _kernel_buildonly, 1, False)):
+        if not want(name):
+            continue
+        try:
+            results[name] = _time_op(mk(body, cols, scratch=scr), name,
+                                     ds, w_rep, plan, iters=args.iters)
+        except Exception as e:
+            _status(f"{name} failed: {str(e)[:200]}")
+            results[name] = None
+
+    print(json.dumps({k: ({"ms": round(v * 1e3, 3),
+                           "edges_per_s": round(N_EDGES / v)}
+                          if v else None)
                       for k, v in results.items()}, indent=2))
 
 
