@@ -155,14 +155,25 @@ class Trainer:
         self._train_step_packed = jax.jit(train_step, donate_argnums=(0,))
 
         debug_numerics = bool(self.hparams.get("debug_numerics"))
-        self._packed_broken = False
+        # force_split_step: skip the packed grad+update program entirely.
+        # The Embedding-HGNN-GMM pipeline's fused program SIGSEGVs the TPU
+        # compiler -- bisected to "value_and_grad of this loss + ANY fused
+        # param update, even p - lr*g" (benchmarks/bisect_fused_r04.json;
+        # grad alone compiles) -- so its shipped config opts into the split
+        # two-program form up front instead of paying the doomed ~1-3 min
+        # compile before falling back.
+        self._packed_broken = bool(self.hparams.get("force_split_step"))
         self._packed_ok = False   # has the packed step ever completed?
 
         def _split_step(state, batch, epoch):
-            """Two-program fallback (same code as the accumulation path)."""
-            grads, buffers, metrics = self._grad_step(state, batch, epoch)
+            """Two-program fallback (same code as the accumulation path).
+            Metrics arrive packed: the r3 fallback's per-metric float()
+            readbacks (~45 ms RPC each over the tunnel) were most of its
+            1.85x penalty, not the extra dispatch."""
+            grads, buffers, vec = self._grad_step(state, batch, epoch)
             new_state = self._apply_grads(state, grads, buffers)
-            return new_state, {k: float(v) for k, v in metrics.items()}
+            vals = np.asarray(vec)
+            return new_state, dict(zip(self._metric_names, vals.tolist()))
 
         def _train_step_dict(state, batch, epoch):
             if self._packed_broken:
@@ -250,11 +261,12 @@ class Trainer:
             (_, (new_buffers, metrics)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
             # same metric key set as the packed step: a mid-run fallback to
-            # the split form must not change the logged schema
+            # the split form must not change the logged schema; packed into
+            # one [K] vector for a single readback (see pack_metrics)
             metrics = dict(metrics)
             metrics["grad_norm"] = jnp.sqrt(sum(
                 jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads)))
-            return grads, new_buffers, metrics
+            return grads, new_buffers, pack_metrics(metrics)
 
         self._grad_step = jax.jit(grad_step)
 
@@ -446,8 +458,8 @@ class Trainer:
                 since = 0
                 for i in order:
                     _, batch = trainset[i]
-                    grads, buffers, metrics = self._grad_step(state, batch,
-                                                              epoch)
+                    grads, buffers, vec = self._grad_step(state, batch,
+                                                          epoch)
                     state = state.replace(buffers=buffers)
                     acc = grads if acc is None else jax.tree.map(
                         jnp.add, acc, grads)
@@ -457,6 +469,8 @@ class Trainer:
                         state = self._apply_grads(state, avg, state.buffers)
                         acc, since = None, 0
                         step_i += 1
+                        metrics = dict(zip(self._metric_names,
+                                           np.asarray(vec).tolist()))
                         self.logger.log(metrics, step=step_i, epoch=epoch)
                 if since:  # flush the ragged tail
                     avg = jax.tree.map(lambda g: g / since, acc)

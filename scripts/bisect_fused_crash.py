@@ -108,8 +108,34 @@ def variants(pipeline, optimizer):
 
         return step
 
+    def make_min_step(update):
+        """grad + a minimal hand-written param update (no optax)."""
+        def step(state, batch, epoch):
+            def loss_fn(params):
+                loss, (nb, m) = pipeline.loss(params, state.buffers, batch,
+                                              epoch, training=True)
+                return loss, (nb, m)
+
+            (loss, (nb, m)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_params = update(state.params, grads)
+            return state.replace(params=new_params, buffers=nb), loss
+
+        return step
+
+    def sgd(params, grads):
+        return jax.tree.map(lambda p, g: p - 1e-3 * g, params, grads)
+
+    def clip_sgd(params, grads):
+        gn = jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                          for g in jax.tree.leaves(grads)))
+        scale = jnp.minimum(1.0, 0.5 / (gn + 1e-12)) * 1e-3
+        return jax.tree.map(lambda p, g: p - scale * g, params, grads)
+
     return {
         "grad": (grad_only, ()),
+        "grad_sgd": (make_min_step(sgd), ()),
+        "grad_clip_sgd": (make_min_step(clip_sgd), ()),
         "grad_opt": (make_step(), ()),
         "grad_opt_donate": (make_step(), (0,)),
         "grad_opt_gnorm_donate": (make_step(gnorm=True), (0,)),

@@ -327,3 +327,31 @@ def test_packed_step_compile_failure_falls_back():
     trainer2._train_step_packed = other
     with pytest.raises(jax.errors.JaxRuntimeError, match="RESOURCE"):
         trainer2._train_step(state, trainset[0][1], 0)
+
+
+def test_force_split_step_config():
+    """force_split_step (the Embedding-HGNN-GMM shipped default: its fused
+    grad+update program SIGSEGVs the TPU compiler -- any fused param
+    update after this loss's grad does, benchmarks/bisect_fused_r04.json)
+    trains through the split two-program path from the first step, never
+    attempting the packed program, with the same packed metric schema."""
+    hparams, model, pipeline = model_selector(
+        "EC-IN", {**TINY, "force_split_step": True})
+    events = generate_dataset(4, seed=3, n_particles=10)
+    trainer = Trainer(hparams, model, pipeline, run_dir="/tmp/forcesplit_t",
+                      log_every_n_steps=0)
+    trainset, _, _ = trainer.make_datasets(events)
+    state = trainer.init_state(trainset[0][1])
+    trainer._build_steps()
+    assert trainer._packed_broken
+    calls = {"n": 0}
+
+    def boom(*a):
+        calls["n"] += 1
+        raise AssertionError("packed step must not be attempted")
+
+    trainer._train_step_packed = boom
+    new_state, metrics = trainer._train_step(state, trainset[0][1], 0)
+    assert calls["n"] == 0
+    assert np.isfinite(metrics["training_loss"])
+    assert "grad_norm" in metrics  # schema matches the packed step
