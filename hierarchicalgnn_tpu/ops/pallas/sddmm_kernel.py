@@ -61,11 +61,18 @@ def _first_visit(cb_ref, nch_ref, g, c):
 
 
 def _sddmm_kernel(cb_ref, nch_ref, seg_ref, rows_ref, data_ref, out_ref, *,
-                  block_r):
+                  block_r, n_blocks):
+    """Output [n_blocks, block_e] stays VMEM-resident for the whole grid
+    (constant index map; it is E_pad*4 bytes, well under VMEM): each step
+    accumulates its chunk's contributions into a dynamically-indexed row,
+    so boundary blocks shared by adjacent groups need no special-casing
+    and all-padding tail blocks stay at the zero init.  (A (1, block_e)
+    block-mapped output is rejected by the TPU lowering: the sublane dim
+    of a block must be divisible by 8 or span the array.)"""
     g = pl.program_id(0)
     c = pl.program_id(1)
 
-    @pl.when(_first_visit(cb_ref, nch_ref, g, c))
+    @pl.when((g == 0) & (c == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -82,8 +89,10 @@ def _sddmm_kernel(cb_ref, nch_ref, seg_ref, rows_ref, data_ref, out_ref, *,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                # (BR, BE)
-        out_ref[:] += jnp.sum(jnp.where(onehot, s, 0.0), axis=0,
-                              keepdims=True)
+        contrib = jnp.sum(jnp.where(onehot, s, 0.0), axis=0, keepdims=True)
+        b = jnp.minimum(cb_ref[g] + jnp.minimum(c, nch_ref[g] - 1),
+                        n_blocks - 1)
+        out_ref[pl.ds(b, 1), :] += contrib
 
 
 def _pallas_sddmm(data_sorted, rows, seg_rep, chunk_base, n_chunks,
@@ -109,12 +118,11 @@ def _pallas_sddmm(data_sorted, rows, seg_rep, chunk_base, n_chunks,
             pl.BlockSpec((block_e, d),
                          lambda g, c, cb, nch: (block_idx(g, c, cb, nch), 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_e),
-                               lambda g, c, cb, nch: (block_idx(g, c, cb, nch),
-                                                      0)),
+        out_specs=pl.BlockSpec((n_blocks, block_e),
+                               lambda g, c, cb, nch: (0, 0)),
     )
     out = pl.pallas_call(
-        functools.partial(_sddmm_kernel, block_r=block_r),
+        functools.partial(_sddmm_kernel, block_r=block_r, n_blocks=n_blocks),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, block_e), jnp.float32),
         interpret=interpret,

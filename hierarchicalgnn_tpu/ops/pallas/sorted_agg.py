@@ -41,6 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 # Env overrides (debug/bisect aid): HGNN_BLOCK_E / HGNN_BLOCK_R.
 BLOCK_E = int(os.environ.get("HGNN_BLOCK_E", "1024"))
 BLOCK_R = int(os.environ.get("HGNN_BLOCK_R", "256"))
+# Backward-pass formulation (perf A/B aid): "xla" restores the fused
+# sorted-index gather + elementwise backward; default rides the
+# scaled-gather / SDDMM kernels (ops/pallas/sddmm_kernel.py).
+KERNEL_BWD = os.environ.get("HGNN_KERNEL_BWD", "1") not in ("0", "xla")
 
 
 @struct.dataclass
@@ -223,12 +227,18 @@ def _sorted_agg_fwd(data_sorted, seg_rep, chunk_base, n_chunks,
 
 def _sorted_agg_bwd(num_segments, block_r, block_e, c_max, interpret,
                     residuals, g):
-    # cotangent[e] = g[recv(e)]: the receiver-row gather rides the one-hot
-    # MXU kernel (rows stream once per group) instead of an XLA row gather
-    from hierarchicalgnn_tpu.ops.pallas.sddmm_kernel import scaled_gather_raw
-
+    # cotangent[e] = g[recv(e)]: a SORTED-index row gather.  KERNEL_BWD
+    # routes it through the one-hot MXU kernel; the XLA form (fused
+    # sorted gather) is kept as an A/B path -- see HGNN_KERNEL_BWD.
     seg_rep, chunk_base, n_chunks, receivers_sorted, mask_sorted, proto = \
         residuals
+    if not KERNEL_BWD:
+        idx = jnp.minimum(receivers_sorted, num_segments - 1)
+        grad = jnp.where(mask_sorted[:, None], g[idx], 0.0).astype(
+            proto.dtype)
+        return grad, None, None, None, None, None
+    from hierarchicalgnn_tpu.ops.pallas.sddmm_kernel import scaled_gather_raw
+
     grad = scaled_gather_raw(
         None, g, seg_rep, chunk_base, n_chunks, receivers_sorted,
         mask_sorted, jnp.asarray(False), num_segments, block_r, block_e,
@@ -351,12 +361,22 @@ def _sorted_weighted_fwd(data_sorted, weights_sorted, plan, interpret):
 def _sorted_weighted_bwd(interpret, residuals, g):
     # d_data[e] = w_e * g[recv(e)]   -> scaled-gather one-hot MXU kernel
     # d_w[e]    = <g[recv(e)], d_e>  -> sorted SDDMM kernel
-    # (both previously an XLA row gather + elementwise, the dominant cost
-    # of every weighted-convolution backward at TrackML scale)
+    # XLA A/B path (HGNN_KERNEL_BWD=0): one fused sorted-index gather +
+    # elementwise -- the r3 formulation.
+    data_sorted, weights_sorted, plan = residuals
+    if not KERNEL_BWD:
+        idx = jnp.minimum(plan.receivers_sorted, plan.num_segments - 1)
+        ge = jnp.where(plan.edge_mask_sorted[:, None], g[idx], 0.0)
+        w = weights_sorted.reshape(weights_sorted.shape[0])
+        d_data = (ge * w[:, None].astype(jnp.float32)).astype(
+            data_sorted.dtype)
+        d_w = jnp.sum(ge * data_sorted.astype(jnp.float32), axis=-1)
+        d_w = jnp.where(plan.edge_mask_sorted, d_w, 0.0)
+        d_w = d_w.reshape(weights_sorted.shape).astype(weights_sorted.dtype)
+        return d_data, d_w, None
     from hierarchicalgnn_tpu.ops.pallas.sddmm_kernel import (
         scaled_gather, sorted_sddmm)
 
-    data_sorted, weights_sorted, plan = residuals
     w = weights_sorted.reshape(weights_sorted.shape[0]).astype(jnp.float32)
     d_data = scaled_gather(w, g, plan, interpret).astype(data_sorted.dtype)
     d_w = sorted_sddmm(data_sorted, g, plan, interpret)
