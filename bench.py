@@ -314,6 +314,15 @@ def _xla_baseline_subprocess():
 
 
 def main():
+    if "--xla-only" not in sys.argv:
+        # Single-tenant chip: detect a concurrent device user up front and
+        # name it, instead of racing it and reading the loser's stalls as
+        # service flakiness.  Warn-and-proceed on timeout -- the round's
+        # headline metric must not be lost to a wedged holder.  (The
+        # --xla-only child skips this: its parent holds the lock for it.)
+        from hierarchicalgnn_tpu.utils import device_lock
+        device_lock.acquire(wait_s=300.0, on_timeout="proceed",
+                            status=_status)
     _warmup_readback()
     if "--xla-only" in sys.argv:
         print(json.dumps({"xla_f32": bench_xla_baseline()}), flush=True)

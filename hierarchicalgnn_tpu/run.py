@@ -144,6 +144,13 @@ def _enable_compile_cache():
 
 
 def main(argv=None):
+    import os
+
+    if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
+        # Single-tenant chip: serialize device users instead of racing a
+        # concurrent run (the loser's stalls masquerade as tunnel flakes).
+        from hierarchicalgnn_tpu.utils import device_lock
+        device_lock.acquire(wait_s=6 * 3600.0, status=print)
     _enable_compile_cache()
     p = argparse.ArgumentParser(prog="hierarchicalgnn_tpu.run")
     sub = p.add_subparsers(dest="cmd", required=True)
