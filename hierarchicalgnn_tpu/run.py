@@ -146,7 +146,14 @@ def _enable_compile_cache():
 def main(argv=None):
     import os
 
-    if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
+    import jax
+
+    # Effective platform: jax.config wins over the env var (tests force
+    # CPU via jax.config; the pinned JAX_PLATFORMS=axon env would
+    # otherwise make a CPU-only run queue behind a real chip user).
+    platforms = jax.config.jax_platforms or os.environ.get(
+        "JAX_PLATFORMS", "")
+    if "cpu" not in str(platforms):
         # Single-tenant chip: serialize device users instead of racing a
         # concurrent run (the loser's stalls masquerade as tunnel flakes).
         from hierarchicalgnn_tpu.utils import device_lock
