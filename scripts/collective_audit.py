@@ -1,0 +1,244 @@
+"""Compiler-derived ICI collective audit of the sharded flagship step.
+
+Multi-chip hardware is not reachable from this environment (one v5e chip
+via the axon tunnel), so the multi-chip scaling efficiency cannot be
+*measured*.  What CAN be pinned down exactly is the collective traffic the
+sharded program actually emits: this script compiles the production
+graph-partitioned train step (``parallel/graph_shard.py``) for a
+{graph: G} mesh on G virtual CPU devices at the FLAGSHIP regime (24k
+nodes / 49k directed-edge capacity, latent 256, 6+6 iterations, bf16 data
+path -- the same shape as the measured single-chip anchor in
+``benchmarks/scaling_r04.json``) and walks the optimized HLO for every
+collective op, summing per-chip ring traffic:
+
+    all-gather          out_bytes * (G-1)/G
+    all-reduce          2 * out_bytes * (G-1)/G
+    reduce-scatter      out_bytes * (G-1)          (out = the shard)
+    collective-permute  out_bytes
+    all-to-all          out_bytes * (G-1)/G
+
+Combined with the MEASURED anchor (sharded step at graph=1: 419.5 ms,
+1.1% over unsharded) this yields a defensible projection of scaling
+efficiency: eff(G) = T / (G * (rho*T + (1-rho)*T/G + t_ici(G))), reported
+for a range of replicated-fraction rho values, where rho is bounded by
+the warm-state phase probes (the pooled space that stays replicated:
+connected components ~15 ms, GMM-EM+cut ~1.4 ms, supergraph kNN ~2 ms,
+auction matching 0.3-34 ms => roughly 5-12% of the step; see
+docs/DESIGN.md "Phase costs").  t_ici assumes NO compute/collective
+overlap (conservative) at the stated per-chip ring bandwidth.
+
+Usage (CPU-only; safe to run alongside a TPU job):
+    python scripts/collective_audit.py [--devices 8] \
+        [--out benchmarks/collective_audit_r04.json]
+"""
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+FLAGSHIP = {
+    "n_nodes_max": 24576,
+    "n_edges_max": 49152,
+    "max_clusters": 3072,
+    "max_particles": 4096,
+    "train_split": [1, 1, 1],
+    # CPU compile: the Pallas kernels are hardware-validated elsewhere and
+    # emit no collectives; the XLA aggregation path compiles everywhere.
+    "use_pallas": False,
+}
+
+_DTYPE_BYTES = {"pred": 1, "u8": 1, "s8": 1, "bf16": 2, "f16": 2, "u16": 2,
+                "s16": 2, "f32": 4, "s32": 4, "u32": 4, "f64": 8, "s64": 8,
+                "u64": 8}
+
+_COLLECTIVES = ("all-gather", "all-reduce", "reduce-scatter",
+                "collective-permute", "all-to-all")
+
+
+def _status(msg):
+    print(f"[collective-audit] {msg}", file=sys.stderr, flush=True)
+
+
+def _shape_bytes(shape_str):
+    """bytes of one 'dtype[d0,d1]{...}' token."""
+    m = re.match(r"(\w+)\[([\d,]*)\]", shape_str)
+    if not m:
+        return 0
+    dt, dims = m.group(1), m.group(2)
+    if dt not in _DTYPE_BYTES:
+        return 0
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES[dt]
+
+
+def parse_collectives(hlo_text):
+    """[(op_kind, result_bytes, line)] for every collective instruction.
+
+    Async pairs are counted once (the -start carries the result shape);
+    the result may be a tuple -- sum its array components, skipping the
+    operand aliases async-start tuples carry.
+    """
+    found = []
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        m = re.match(r"%?[\w.\-]+ = (.+?) (" + "|".join(_COLLECTIVES) +
+                     r")(-start)?\(", s)
+        if not m:
+            continue
+        if re.search(r"(all-gather|all-reduce|reduce-scatter|all-to-all|"
+                     r"collective-permute)-done", s):
+            continue
+        result, kind, started = m.group(1), m.group(2), m.group(3)
+        tokens = re.findall(r"\w+\[[\d,]*\]", result)
+        if started and len(tokens) >= 2:
+            # async-start result tuple = (operand, result, ...): the real
+            # transfer is the RESULT component; drop the operand alias.
+            tokens = tokens[1:2]
+        nbytes = sum(_shape_bytes(t) for t in tokens)
+        if nbytes:
+            found.append((kind, nbytes, s[:160]))
+    return found
+
+
+def ring_traffic_bytes(kind, nbytes, g):
+    """Per-chip bytes a ring implementation moves for one collective."""
+    if kind == "all-gather":
+        return nbytes * (g - 1) / g
+    if kind == "all-reduce":
+        return 2 * nbytes * (g - 1) / g
+    if kind == "reduce-scatter":
+        return nbytes * (g - 1)
+    if kind == "collective-permute":
+        return nbytes
+    if kind == "all-to-all":
+        return nbytes * (g - 1) / g
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--particles", type=int, default=3000)
+    ap.add_argument("--anchor-ms", type=float, default=419.5,
+                    help="measured sharded graph=1 flagship step "
+                         "(benchmarks/scaling_r04.json)")
+    ap.add_argument("--ring-gbps", type=float, default=90.0,
+                    help="assumed per-chip ring bandwidth, GB/s (v5e: 4 ICI "
+                         "links; a bidirectional 1D ring uses 2 at ~45 GB/s)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from hierarchicalgnn_tpu.data.event import preprocess_event
+    from hierarchicalgnn_tpu.data.synthetic import generate_event
+    from hierarchicalgnn_tpu.models.registry import model_selector
+    from hierarchicalgnn_tpu.parallel.graph_shard import make_sharded_train_step
+    from hierarchicalgnn_tpu.parallel.mesh import make_mesh
+    from hierarchicalgnn_tpu.parallel.step import stack_events
+    from hierarchicalgnn_tpu.train.trainer import Trainer
+
+    g = args.devices
+    assert jax.device_count() >= g, (jax.device_count(), g)
+
+    hparams, model, pipeline = model_selector("BC-HGNN-GMM", FLAGSHIP)
+    raw = generate_event(np.random.default_rng(0),
+                         n_particles=args.particles)
+    ev = jax.tree.map(jnp.asarray, preprocess_event(raw, hparams))
+    _status(f"event: nodes {ev.x.shape[0]}, padded edges "
+            f"{int(ev.graph.capacity)}; mesh graph={g}")
+
+    trainer = Trainer(hparams, model, pipeline, run_dir="/tmp/coll_audit")
+    # Abstract state: no flagship-shape init execution on the CPU host.
+    state_shapes = jax.eval_shape(trainer.init_state, ev)
+    batch = stack_events([ev])
+    mesh = make_mesh(data=1, graph=g)
+    step = make_sharded_train_step(pipeline, trainer.optimizer, mesh,
+                                   hparams)
+
+    _status("lowering + compiling the sharded train step (CPU)")
+    compiled = step.lower(state_shapes, batch, 0).compile()
+    colls = parse_collectives(compiled.as_text())
+    _status(f"{len(colls)} collective instructions found")
+
+    by_kind = {}
+    for kind, nbytes, _ in colls:
+        e = by_kind.setdefault(kind, {"count": 0, "result_bytes": 0})
+        e["count"] += 1
+        e["result_bytes"] += nbytes
+
+    def project(gi, scale=1.0):
+        traffic = scale * sum(ring_traffic_bytes(k, b, gi)
+                              for k, b, _ in colls)
+        t_ici_ms = traffic / (args.ring_gbps * 1e9) * 1e3
+        T = args.anchor_ms
+        row = {"devices": gi, "per_chip_traffic_MB": round(traffic / 1e6, 2),
+               "t_ici_ms": round(t_ici_ms, 3), "efficiency_vs_rho": {}}
+        for rho in (0.0, 0.05, 0.10):
+            step_ms = rho * T + (1 - rho) * T / gi + t_ici_ms
+            row["efficiency_vs_rho"][f"rho={rho:.2f}"] = round(
+                T / (gi * step_ms), 4)
+        return row
+
+    report = {
+        "metric": "ici_collective_audit",
+        "note": ("Compiler-derived: optimized HLO of the production "
+                 "graph-partitioned train step (flagship shape, bf16 data "
+                 "path) on a virtual CPU mesh; per-chip ring traffic from "
+                 "the emitted collectives; efficiency projected against "
+                 "the MEASURED 1-chip anchor "
+                 f"({args.anchor_ms} ms, scaling_r04.json) assuming no "
+                 "compute/collective overlap (conservative) at "
+                 f"{args.ring_gbps} GB/s per-chip ring bandwidth.  rho = "
+                 "fraction of the step that stays replicated (pooled "
+                 "space); warm-state phase probes bound it at ~5-12%."),
+        "mesh": {"graph": g},
+        "shape": {"n_nodes": int(ev.x.shape[0]),
+                  "n_edges_padded": int(ev.graph.capacity),
+                  "latent": hparams["latent"]},
+        "collectives_by_kind": by_kind,
+        "largest_collectives": sorted(
+            ({"kind": k, "result_bytes": b, "hlo": l} for k, b, l in colls),
+            key=lambda d: -d["result_bytes"])[:8],
+        "projection": [project(gi) for gi in (2, 4, 8)],
+        # The CPU backend upcasts the bf16 data path to f32 before
+        # lowering, so the [N, latent] halo gathers (and their backward
+        # scatters) appear at twice their TPU width here.  The data-path
+        # collectives dominate the byte total, so a uniform 0.5x scale is
+        # a tight lower bound on on-chip traffic; the truth lies between
+        # the two tables (parameter-grad all-reduces stay f32 on TPU too).
+        "projection_bf16_adjusted": [project(gi, scale=0.5)
+                                     for gi in (2, 4, 8)],
+        "cpu_lowering_caveat": (
+            "halo all-gathers show as f32[24576,256] fed by convert "
+            "fusions: CPU XLA upcasts bf16 compute, doubling those "
+            "entries vs the TPU lowering; see projection_bf16_adjusted"),
+    }
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "collective_audit_r04.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    _status(f"wrote {out}")
+    print(json.dumps({k: v for k, v in report.items()
+                      if k in ("collectives_by_kind", "projection")},
+                     indent=2))
+
+
+if __name__ == "__main__":
+    main()
