@@ -25,7 +25,8 @@ from hierarchicalgnn_tpu.ops import gmm as gmm_ops
 from hierarchicalgnn_tpu.ops.connected import cluster_labels
 from hierarchicalgnn_tpu.ops.graph import Graph
 from hierarchicalgnn_tpu.ops.sddmm import edge_cosine_likelihood
-from hierarchicalgnn_tpu.ops.segment import make_aggregator, segment_mean
+from hierarchicalgnn_tpu.ops.segment import (
+    make_aggregator, segment_mean, segment_sum)
 from hierarchicalgnn_tpu.models.cells import HierarchicalGNNCell, InteractionGNNCell
 from hierarchicalgnn_tpu.models.dynamic_graph import DynamicGraphConstruction
 from hierarchicalgnn_tpu.models.mlp import MLP, MatchDims, maybe_remat
@@ -172,19 +173,30 @@ class HierarchicalGNNBlock(nn.Module):
     emb_output: bool = False
 
     def clustering(self, score_cut_var, embeddings, graph: Graph, node_mask,
-                   training: bool, plan=None):
+                   training: bool, plan=None, shard=None):
         """GMM edge-cut + connected components (reference ``HGNN_GMM.py:184-238``).
 
         Runs under stop-gradient; updates the ``score_cut`` EMA buffer.
         ``plan``: the flat graph's SortedPlan (Pallas mode) -- CC then uses
         the blocked-CSR VPU min kernel instead of scatter-min hops.
+        ``shard``: pooled-space partition -- ``graph`` is then this
+        device's receiver-partitioned edge slice (GLOBAL ids): the edge
+        likelihood computes on local edges only (1/P the SDDMM work), the
+        GMM fits replicated on the all-gathered likelihood (identical
+        moments, per-device order), and CC runs partitioned
+        (``parallel.graph_shard.sharded_cluster_labels``).
         Returns (clusters int32[N] with -1 fill, n_clusters).
         """
         cfg = self.cfg
         emb = jax.lax.stop_gradient(embeddings)
         likelihood = edge_cosine_likelihood(
             emb, graph.senders, graph.receivers, mask=graph.edge_mask)
-        gmm = gmm_ops.fit_gmm2(likelihood, graph.edge_mask, iters=cfg.gmm_iters)
+        if shard is not None:
+            lik_fit = shard.all_gather(likelihood)
+            mask_fit = shard.all_gather(graph.edge_mask)
+        else:
+            lik_fit, mask_fit = likelihood, graph.edge_mask
+        gmm = gmm_ops.fit_gmm2(lik_fit, mask_fit, iters=cfg.gmm_iters)
 
         # score_cut buffer: +inf until first fit, then EMA momentum 0.95.
         sc = score_cut_var.value[0]
@@ -198,7 +210,15 @@ class HierarchicalGNNBlock(nn.Module):
 
         keep = graph.edge_mask & (likelihood >= sc_used)
         n = embeddings.shape[0]
-        if plan is not None:
+        if shard is not None:
+            from hierarchicalgnn_tpu.parallel.graph_shard import (
+                sharded_cluster_labels)
+
+            def cluster(mask):
+                return sharded_cluster_labels(
+                    shard, mask, n, min_cluster_size=cfg.min_cluster_size,
+                    node_mask=node_mask)
+        elif plan is not None:
             from hierarchicalgnn_tpu.ops.connected import cluster_labels_sorted
             interp = jax.default_backend() != "tpu"
 
@@ -240,10 +260,16 @@ class HierarchicalGNNBlock(nn.Module):
         if node_mask is None:
             node_mask = jnp.ones((n,), bool)
         if shard is not None:
-            # global embedding/mask views for the replicated pooled space
+            from hierarchicalgnn_tpu.parallel.graph_shard import pooled_active
+
+            # pooled-space partition (supernode rows blocked over the graph
+            # axis) unless disabled / indivisible -- see graph_shard.py
+            pooled = pooled_active(shard.spec, cfg.max_clusters)
+            # global embedding/mask views for the replicated pooled phases
             emb_global = shard.all_gather(embeddings)
             mask_global = shard.all_gather(node_mask)
         else:
+            pooled = False
             emb_global, mask_global = embeddings, node_mask
         n_global = emb_global.shape[0]
 
@@ -267,10 +293,20 @@ class HierarchicalGNNBlock(nn.Module):
             knn_block_size=cfg.knn_block_size)
         bipartite_graph_construction = DynamicGraphConstruction(
             "exp", k=cfg.bipartitegraph_sparsity, sym=False, norm=True,
-            return_logits=True, knn_block_size=cfg.knn_block_size)
+            return_logits=True, knn_block_size=cfg.knn_block_size,
+            # pooled partition: the bipartite kNN is query-sharded (each
+            # device mines its own node rows against the replicated means);
+            # batch-norm moments / radius EMA / weight normalization then
+            # reduce across the axis for exact-parity statistics.
+            axis_name=(shard.spec.axis if pooled else None))
 
         # --- pooling (replicated across the graph axis when sharded) ---
-        if shard is not None:
+        if shard is not None and pooled:
+            # partitioned clustering: local-edge likelihood + sharded CC
+            clusters, n_clusters = self.clustering(
+                score_cut, emb_global, shard.local_graph, mask_global,
+                training, shard=shard)
+        elif shard is not None:
             if shard.spec.use_pallas:
                 # Sorted-native CC for the replicated pooled space too: a
                 # full-graph plan built once per forward feeds the blocked-
@@ -295,7 +331,25 @@ class HierarchicalGNNBlock(nn.Module):
                 score_cut, embeddings, graph, node_mask, training, plan=plan)
         in_cluster = clusters >= 0
         seg = jnp.where(in_cluster, clusters, 0)
-        means = segment_mean(emb_global, seg, cfg.max_clusters, mask=in_cluster)
+        if pooled:
+            # cluster means from LOCAL rows + one psum of the [C, emb]
+            # partial moments (same sums as the replicated segment_mean,
+            # per-device summation order)
+            cl_loc = jax.lax.dynamic_slice_in_dim(
+                clusters, shard.index * shard.n_local, shard.n_local, 0)
+            icl = cl_loc >= 0
+            seg_l = jnp.where(icl, cl_loc, 0)
+            total = segment_sum(embeddings, seg_l, cfg.max_clusters,
+                                mask=icl)
+            cnt = segment_sum(jnp.ones(embeddings.shape[:1],
+                                       embeddings.dtype),
+                              seg_l, cfg.max_clusters, mask=icl)
+            total = jax.lax.psum(total, shard.spec.axis)
+            cnt = jax.lax.psum(cnt, shard.spec.axis)
+            means = total / jnp.maximum(cnt, 1)[:, None]
+        else:
+            means = segment_mean(emb_global, seg, cfg.max_clusters,
+                                 mask=in_cluster)
         means = l2_normalize(means)
         cluster_valid = jnp.arange(cfg.max_clusters) < n_clusters
         means = jnp.where(cluster_valid[:, None], means, 0.0)
@@ -304,9 +358,18 @@ class HierarchicalGNNBlock(nn.Module):
         super_graph, super_weights = super_graph_construction(
             means, means, training, src_mask=cluster_valid,
             dst_mask=cluster_valid)
-        bipartite_graph, bipartite_weights, _ = bipartite_graph_construction(
-            emb_global, means, training, src_mask=mask_global,
-            dst_mask=cluster_valid)
+        if pooled:
+            # query-sharded: this device mines its own node rows; the
+            # result IS the device's sender-contiguous bipartite block
+            bipartite_graph, bipartite_weights, _ = (
+                bipartite_graph_construction(
+                    embeddings, means, training, src_mask=node_mask,
+                    dst_mask=cluster_valid))
+        else:
+            bipartite_graph, bipartite_weights, _ = (
+                bipartite_graph_construction(
+                    emb_global, means, training, src_mask=mask_global,
+                    dst_mask=cluster_valid))
 
         # Shared aggregation plans for init + all hierarchical iterations.
         # In sorted-native mode each direction gets its own receiver-sorted
@@ -322,11 +385,13 @@ class HierarchicalGNNBlock(nn.Module):
 
             # Pallas mode re-expresses the replicated super graph in
             # receiver-sorted order -- downstream superedge init/gathers
-            # must use the returned graph/weights.
-            aggs, gathers, super_graph, super_weights = make_hier_shard_aggs(
-                shard, bipartite_graph, bipartite_weights,
-                super_graph, super_weights, cfg.max_clusters,
-                cfg.bipartitegraph_sparsity)
+            # must use the returned graph/weights.  Pooled mode returns the
+            # LOCAL receiver-partitioned superedge slice instead.
+            aggs, gathers, super_graph, super_weights, _ = (
+                make_hier_shard_aggs(
+                    shard, bipartite_graph, bipartite_weights,
+                    super_graph, super_weights, cfg.max_clusters,
+                    cfg.bipartitegraph_sparsity))
         elif cfg.use_pallas:
             from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
                 build_sorted_plan, build_transposed_plan,
@@ -398,11 +463,22 @@ class HierarchicalGNNBlock(nn.Module):
         init_nodes = l1_normalize(nodes) if self.l1_norm_supernode_init else nodes
         agg_to_super, b_send = aggs["bip_to_super"]
         agg_init = agg_to_super(init_nodes[b_send]).astype(nodes.dtype)
+        means_rows = means
+        if pooled:
+            c_local = cfg.max_clusters // shard.spec.n_parts
+            means_rows = jax.lax.dynamic_slice_in_dim(
+                means, shard.index * c_local, c_local, 0)
         supernodes = jnp.concatenate(
-            [means.astype(nodes.dtype), supernode_encoder(agg_init)], -1)
+            [means_rows.astype(nodes.dtype), supernode_encoder(agg_init)], -1)
+        # super_bcast: identity unless the pooled space is row-blocked, in
+        # which case it all_gathers the local rows back to the replicated
+        # [max_clusters, D] view for endpoint indexing (global ids).
+        sbc = (gathers.get("super_bcast", lambda x: x) if gathers
+               else (lambda x: x))
+        sn_all = sbc(supernodes)
         superedges = superedge_encoder(jnp.concatenate(
-            [supernodes[super_graph.senders],
-             supernodes[super_graph.receivers]], -1))
+            [sn_all[super_graph.senders],
+             sn_all[super_graph.receivers]], -1))
 
         # --- hierarchical message passing ---
         if cfg.share_weight:
@@ -435,7 +511,10 @@ class HierarchicalGNNBlock(nn.Module):
             out_embeddings = l2_normalize(
                 output_layer(nodes).astype(jnp.float32))
             return out_embeddings, aux
-        return nodes, supernodes, (bipartite_graph, bipartite_weights), aux
+        # Pooled mode: hand the score heads the replicated supernode view
+        # (they index it by arbitrary cluster id); the bipartite graph stays
+        # this device's sender-contiguous block (models globalize senders).
+        return nodes, sbc(supernodes), (bipartite_graph, bipartite_weights), aux
 
 
 class GMRTEncoders(nn.Module):

@@ -144,6 +144,12 @@ class HierarchicalGNNCell(nn.Module):
             }
         agg_to_super, b_send = aggs["bip_to_super"]
         agg_to_node, b_cluster = aggs["bip_to_node"]
+        # Pooled-space partition (parallel/graph_shard.py): supernode rows
+        # are row-blocked and ``super_bcast`` rebuilds the replicated array
+        # (one all_gather) for the supernode->node direction and the
+        # superedge endpoint gathers; identity when the pooled space is
+        # replicated/unsharded.
+        super_bcast = gathers.get("super_bcast", lambda x: x)
 
         # --- supernode update from OLD nodes (reference :138-145) ---
         # (f32-accumulated messages cast back to the residual dtype)
@@ -152,16 +158,17 @@ class HierarchicalGNNCell(nn.Module):
             superedges).astype(supernodes.dtype)
         new_supernodes = supernode_network(jnp.concatenate(
             [supernodes, attention_messages, node_messages], -1)) + supernodes
+        sn_all = super_bcast(new_supernodes)
 
         # --- node update from NEW supernodes (reference :119-127) ---
         supernode_messages = agg_to_node(
-            new_supernodes[b_cluster]).astype(nodes.dtype)
+            sn_all[b_cluster]).astype(nodes.dtype)
         edge_messages = aggs["edge_to_node"](edges).astype(nodes.dtype)
         new_nodes = node_network(jnp.concatenate(
             [nodes, edge_messages, supernode_messages], -1)) + nodes
 
         # --- superedge / edge updates (reference :147-153, :129-135) ---
-        sn_src, sn_dst = gathers["super"](new_supernodes)
+        sn_src, sn_dst = gathers["super"](sn_all)
         new_superedges = superedge_network(jnp.concatenate(
             [sn_src, sn_dst, superedges], -1)) + superedges
         nn_src, nn_dst = gathers["graph"](new_nodes)

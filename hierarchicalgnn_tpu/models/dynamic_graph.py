@@ -37,6 +37,11 @@ class DynamicGraphConstruction(nn.Module):
     norm: bool = False
     return_logits: bool = False
     knn_block_size: int = 1024
+    # Pooled-space partition (parallel/graph_shard.py): the QUERY rows are
+    # sharded across this mesh axis (each device mines its own block), so
+    # the radius EMA, batch-norm moments and weight normalization reduce
+    # across it for exact-parity global statistics.
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, src_embeddings, dst_embeddings, training: bool,
@@ -48,7 +53,7 @@ class DynamicGraphConstruction(nn.Module):
         """
         knn_radius = self.variable(
             "buffers", "knn_radius", lambda: jnp.ones((1,), jnp.float32))
-        weight_normalization = MaskedBatchNorm()
+        weight_normalization = MaskedBatchNorm(axis_name=self.axis_name)
 
         src = jax.lax.stop_gradient(src_embeddings)
         dst = jax.lax.stop_gradient(dst_embeddings)
@@ -68,6 +73,8 @@ class DynamicGraphConstruction(nn.Module):
             # are symmetric, so the max over the symmetrized graph equals
             # the max over the raw kNN edges.
             max_d2 = jnp.max(jnp.where(emask, d2_flat, 0.0))
+            if self.axis_name:
+                max_d2 = jax.lax.pmax(max_d2, self.axis_name)
             knn_radius.value = (0.9 * knn_radius.value
                                 + 0.11 * jnp.sqrt(max_d2))
 
@@ -93,7 +100,10 @@ class DynamicGraphConstruction(nn.Module):
 
         if self.norm:
             m = graph.edge_mask.astype(weights.dtype)
-            mean = jnp.sum(weights * m) / jnp.maximum(jnp.sum(m), 1.0)
+            sums = jnp.sum(weights * m), jnp.sum(m)
+            if self.axis_name and not self.is_initializing():
+                sums = jax.lax.psum(sums, self.axis_name)
+            mean = sums[0] / jnp.maximum(sums[1], 1.0)
             weights = weights / jnp.maximum(mean, 1e-12)
 
         weights = jnp.where(graph.edge_mask, weights, 0.0)[:, None]

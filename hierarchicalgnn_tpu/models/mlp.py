@@ -176,6 +176,11 @@ class MaskedBatchNorm(nn.Module):
 
     momentum: float = 0.1
     epsilon: float = 1e-5
+    # When set (pooled-space partition, parallel/graph_shard.py), the batch
+    # is sharded across this mesh axis: moments psum so every device
+    # normalizes with the GLOBAL batch statistics (exact parity with the
+    # replicated computation up to summation order).
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, mask, training: bool):
@@ -186,11 +191,13 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((1,), jnp.float32))
 
+        psum = (lambda v: jax.lax.psum(v, self.axis_name)) \
+            if self.axis_name and not self.is_initializing() else (lambda v: v)
         if training:
             w = mask.astype(jnp.float32)
-            n = jnp.maximum(jnp.sum(w), 1.0)
-            mean = jnp.sum(w * x) / n
-            var = jnp.sum(w * jnp.square(x - mean)) / n
+            n = jnp.maximum(psum(jnp.sum(w)), 1.0)
+            mean = psum(jnp.sum(w * x)) / n
+            var = psum(jnp.sum(w * jnp.square(x - mean))) / n
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value

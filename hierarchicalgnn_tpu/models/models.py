@@ -198,10 +198,21 @@ class BipartiteClassifierHGNN(nn.Module):
                                       bgraph.edge_mask)
         else:
             from hierarchicalgnn_tpu.parallel.graph_shard import (
-                bipartite_local_slice)
+                bipartite_local_slice, pooled_active)
 
-            b_send, b_recv, b_mask, _ = bipartite_local_slice(
-                tools, bgraph, bweights, cfg.bipartitegraph_sparsity)
+            if pooled_active(tools.spec, cfg.max_clusters):
+                # pooled partition: the block's bipartite graph IS this
+                # device's sender-contiguous local slice (supernodes came
+                # back broadcast).  Globalize senders for the returned
+                # graph -- shard_map reassembles the blocks into exactly
+                # the unsharded global bipartite edge order.
+                b_send, b_recv, b_mask = (bgraph.senders, bgraph.receivers,
+                                          bgraph.edge_mask)
+                bgraph = Graph(b_send + tools.index * tools.n_local,
+                               b_recv, b_mask)
+            else:
+                b_send, b_recv, b_mask, _ = bipartite_local_slice(
+                    tools, bgraph, bweights, cfg.bipartitegraph_sparsity)
         scores = nn.sigmoid(bipartite_output_layer(jnp.concatenate(
             [nodes[b_send], supernodes[b_recv]],
             -1))[:, 0].astype(jnp.float32))
@@ -247,10 +258,21 @@ class GMRT(nn.Module):
                                       bgraph.edge_mask)
         else:
             from hierarchicalgnn_tpu.parallel.graph_shard import (
-                bipartite_local_slice)
+                bipartite_local_slice, pooled_active)
 
-            b_send, b_recv, b_mask, _ = bipartite_local_slice(
-                tools, bgraph, bweights, cfg.bipartitegraph_sparsity)
+            if pooled_active(tools.spec, cfg.max_clusters):
+                # pooled partition: the block's bipartite graph IS this
+                # device's sender-contiguous local slice (supernodes came
+                # back broadcast).  Globalize senders for the returned
+                # graph -- shard_map reassembles the blocks into exactly
+                # the unsharded global bipartite edge order.
+                b_send, b_recv, b_mask = (bgraph.senders, bgraph.receivers,
+                                          bgraph.edge_mask)
+                bgraph = Graph(b_send + tools.index * tools.n_local,
+                               b_recv, b_mask)
+            else:
+                b_send, b_recv, b_mask, _ = bipartite_local_slice(
+                    tools, bgraph, bweights, cfg.bipartitegraph_sparsity)
         scores = nn.sigmoid(bipartite_output_layer(jnp.concatenate(
             [nodes[b_send], supernodes[b_recv]],
             -1))[:, 0].astype(jnp.float32))

@@ -63,6 +63,20 @@ class SpmdSpec(NamedTuple):
     slack: float = 1.5      # per-device edge capacity head-room
     use_pallas: bool = False
     halo_backend: str = "xla"   # "xla" (lax.all_gather) | "rdma" (Pallas ring)
+    # Row-block the POOLED space too (supernodes, superedges, connected
+    # components, bipartite kNN) instead of replicating it.  The replicated
+    # pooled fraction is what capped the 8-chip Amdahl projection at ~70%
+    # (round-4 collective audit); with it partitioned only GMM/cut, the
+    # super-kNN and the auction stay replicated.  Requires
+    # ``max_clusters % n_parts == 0`` (see :func:`pooled_active`).
+    shard_pooled: bool = True
+
+
+def pooled_active(spec: "SpmdSpec", max_clusters: int) -> bool:
+    """Whether the pooled-space partition is in effect (STATIC decision:
+    both operands are trace-time constants, and the model out_specs must
+    agree with it)."""
+    return bool(spec.shard_pooled) and max_clusters % spec.n_parts == 0
 
 
 class ShardTools(NamedTuple):
@@ -78,6 +92,8 @@ class ShardTools(NamedTuple):
     agg: Callable               # local edge->node aggregator
     gather: Callable            # halo endpoint gather: x_local -> (x[s], x[r])
     all_gather: Callable        # x_local [n_local, ...] -> [N, ...] global
+    local_plan: Any = None      # SortedPlan over the local edges (Pallas mode)
+    r_local: Any = None         # local_graph.receivers - index*n_local
 
 
 def _round_up(x: int, m: int) -> int:
@@ -221,7 +237,9 @@ def make_shard_tools(directed: Graph, n_local: int, spec: SpmdSpec) -> ShardTool
 
     return ShardTools(spec=spec, index=idx, n_local=n_local,
                       full_graph=directed, local_graph=local, slot=slot,
-                      ok=ok, agg=agg, gather=gather, all_gather=all_gather)
+                      ok=ok, agg=agg, gather=gather, all_gather=all_gather,
+                      local_plan=(plan if spec.use_pallas else None),
+                      r_local=r_local)
 
 
 def bipartite_local_slice(shard: ShardTools, bgraph: Graph, weights, k: int):
@@ -241,6 +259,88 @@ def bipartite_local_slice(shard: ShardTools, bgraph: Graph, weights, k: int):
     return senders_local, sl(bgraph.receivers), sl(bgraph.edge_mask), sl(weights)
 
 
+def partition_edge_values(slot, edge_mask, values, n_parts: int, e_cap: int):
+    """Scatter per-edge values into the ``partition_edges`` buffer layout.
+
+    ``values`` must be zero on padded slots (every weight producer masks
+    them), so the scatter-add into the shared dump slot is a no-op and each
+    kept edge's unique slot receives exactly its value.  Returns
+    ``[n_parts, e_cap, ...]``.
+    """
+    v = jnp.where(edge_mask[(...,) + (None,) * (values.ndim - 1)], values, 0)
+    flat = jnp.zeros((n_parts * e_cap,) + values.shape[1:], values.dtype)
+    flat = flat.at[slot].add(v)
+    return flat.reshape((n_parts, e_cap) + values.shape[1:])
+
+
+def sharded_cluster_labels(shard: ShardTools, keep_local, num_nodes: int,
+                           min_cluster_size: int, node_mask,
+                           max_iters: int = 64):
+    """Graph-partitioned connected components -> dense cluster labels.
+
+    The replicated sorted-CC was the single largest pooled-space phase
+    (~15 ms of the flagship step, round-4 phase probes) and by itself caps
+    the 8-chip Amdahl projection at ~0.76 -- so the hop runs on the LOCAL
+    receiver-partitioned edges (min into this device's node rows, Pallas
+    blocked-CSR VPU min in sorted mode) and one ``all_gather([n_local])``
+    per hop rebuilds the replicated label vector.  Labels stay
+    replicated-identical on every device (min is deterministic), so the
+    while_loop predicate is uniform and pointer jumps are cheap replicated
+    gathers.  Semantics match :func:`ops.connected.cluster_labels_sorted`
+    on the full graph (reference scope ``Modules/BipartiteClassification/
+    Models/HGNN_GMM.py:172-181``).
+
+    ``keep_local``: bool[e_cap] mask over ``shard.local_graph`` edges (the
+    GMM cut); ``node_mask``: replicated bool[num_nodes].
+    Returns (clusters int32[num_nodes], n_clusters), both replicated.
+    """
+    from hierarchicalgnn_tpu.ops.connected import compact_labels
+    from hierarchicalgnn_tpu.ops.segment import segment_min, segment_sum
+
+    lg = shard.local_graph
+    int_max = jnp.iinfo(jnp.int32).max
+    labels0 = jnp.arange(num_nodes, dtype=jnp.int32)
+
+    if shard.local_plan is not None:
+        from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
+            sorted_segment_min_i32)
+
+        interp = jax.default_backend() != "tpu"
+
+        def local_min(l_edge):
+            return sorted_segment_min_i32(l_edge, shard.local_plan, interp)
+    else:
+        def local_min(l_edge):
+            return segment_min(l_edge, shard.r_local, shard.n_local,
+                               empty_value=int_max)
+
+    def hop(labels):
+        l_edge = jnp.minimum(labels[lg.senders], labels[lg.receivers])
+        l_edge = jnp.where(keep_local, l_edge, int_max)
+        m = shard.all_gather(local_min(l_edge))
+        new = jnp.minimum(labels, m)
+        for _ in range(3):  # pointer jumps: replicated, geometric compression
+            new = jnp.minimum(new, new[new])
+        return new
+
+    def body(state):
+        labels, _, it = state
+        new = hop(hop(labels))
+        return new, jnp.any(new != labels), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters // 2)
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels0, jnp.asarray(True), 0))
+    labels = jnp.where(node_mask, labels,
+                       jnp.arange(num_nodes, dtype=jnp.int32))
+    sizes = segment_sum(node_mask.astype(jnp.int32), labels, num_nodes)
+    keep_nodes = node_mask & (sizes[labels] >= min_cluster_size)
+    return compact_labels(labels, keep_nodes)
+
+
 def make_hier_shard_aggs(shard: ShardTools, bgraph: Graph, bweights,
                          sgraph: Graph, sweights, max_clusters: int, k: int):
     """Shard-aware aggs/gathers for :class:`models.cells.HierarchicalGNNCell`.
@@ -256,10 +356,108 @@ def make_hier_shard_aggs(shard: ShardTools, bgraph: Graph, bweights,
     the (replicated) super graph is re-expressed in receiver-sorted order,
     so callers must use the RETURNED (sgraph, sweights).
 
-    Returns (aggs, gathers, sgraph, sweights).
+    Returns (aggs, gathers, sgraph, sweights, ok).
+
+    When :func:`pooled_active` holds, the POOLED space is row-blocked too
+    (reference scope being partitioned: the supernode/superedge updates of
+    ``Modules/gnn_utils.py:138-152``):
+
+      * supernode rows: device d owns ``[d*c_local, (d+1)*c_local)``;
+        the bipartite node->supernode reduction completes with a
+        ``psum_scatter`` (half the all-reduce bytes) so the supernode MLP
+        runs on local rows only.
+      * superedges: receiver-partitioned via :func:`partition_edges` over
+        the supernode blocks, so the superedge MLP and the
+        superedge->supernode aggregation are local.
+      * ``gathers["super_bcast"]`` rebuilds the replicated supernode array
+        (one small ``all_gather([c_local, D])`` per use) for the
+        supernode->node direction and the superedge endpoint gathers.
+
+    In pooled mode ``bgraph``/``bweights`` must be the LOCAL bipartite
+    construction (senders = local node ids) -- the query-sharded kNN emits
+    exactly this device's sender-contiguous block; otherwise they are the
+    replicated global graph and this device's slice is taken here.
     """
     axis = shard.spec.axis
     n_local = shard.n_local
+    pooled = pooled_active(shard.spec, max_clusters)
+    if pooled:
+        b_send_l, b_sup_l, b_m_l, b_w_l = (bgraph.senders, bgraph.receivers,
+                                           bgraph.edge_mask, bweights)
+        c_local = max_clusters // shard.spec.n_parts
+        s_parts, s_slot, s_ok = partition_edges(sgraph, max_clusters,
+                                                shard.spec)
+        sw_parts = partition_edge_values(s_slot, sgraph.edge_mask, sweights,
+                                         shard.spec.n_parts,
+                                         s_parts.senders.shape[1])
+        pick = lambda a: jax.lax.dynamic_index_in_dim(a, shard.index,
+                                                      keepdims=False)
+        sg_loc = Graph(pick(s_parts.senders), pick(s_parts.receivers),
+                       pick(s_parts.edge_mask))
+        sw_loc = pick(sw_parts)
+        sr_loc = sg_loc.receivers - shard.index * c_local
+
+        def scatter_c(partial):
+            return jax.lax.psum_scatter(partial, axis, scatter_dimension=0,
+                                        tiled=True)
+
+        if shard.spec.use_pallas:
+            from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
+                build_sorted_plan, sorted_aggregate_weighted)
+
+            interp = jax.default_backend() != "tpu"
+            # Local superedges are receiver-sorted by partition_edges, so
+            # the plan's sort is the identity permutation (same property
+            # the flat-edge path relies on).
+            s_plan = build_sorted_plan(sg_loc.senders, sr_loc,
+                                       sg_loc.edge_mask, c_local)
+            sg_loc = Graph(s_plan.senders_sorted,
+                           s_plan.receivers_sorted + shard.index * c_local,
+                           s_plan.edge_mask_sorted)
+            sw_loc = s_plan.sort(sw_loc)
+            p_bs = build_sorted_plan(b_send_l, b_sup_l, b_m_l, max_clusters)
+            p_bn = build_sorted_plan(b_sup_l, b_send_l, b_m_l, n_local)
+            w_bs = p_bs.sort(b_w_l)
+            w_bn = p_bn.sort(b_w_l)
+            aggs = {
+                "edge_to_node": shard.agg,
+                "bip_to_super": (
+                    lambda d: scatter_c(
+                        sorted_aggregate_weighted(d, w_bs, p_bs, interp)),
+                    p_bs.senders_sorted),
+                "bip_to_node": (
+                    lambda d: sorted_aggregate_weighted(d, w_bn, p_bn,
+                                                        interp),
+                    p_bn.senders_sorted),
+                "super_to_super": lambda d: sorted_aggregate_weighted(
+                    d, sw_loc, s_plan, interp),
+            }
+        else:
+            bw = jnp.where(b_m_l[:, None], b_w_l, 0.0)
+            sw = jnp.where(sg_loc.edge_mask[:, None], sw_loc, 0.0)
+            aggs = {
+                "edge_to_node": shard.agg,
+                "bip_to_super": (
+                    lambda d: scatter_c(segment_sum(
+                        d * bw, b_sup_l, max_clusters, mask=b_m_l)),
+                    b_send_l),
+                "bip_to_node": (
+                    lambda d: segment_sum(d * bw, b_send_l, n_local,
+                                          mask=b_m_l),
+                    b_sup_l),
+                "super_to_super": lambda d: segment_sum(
+                    d * sw, sr_loc, c_local, mask=sg_loc.edge_mask,
+                    indices_are_sorted=True),
+            }
+        gathers = {
+            "graph": shard.gather,
+            # called with the ALL-GATHERED (global) supernode array
+            "super": lambda x_all: (x_all[sg_loc.senders],
+                                    x_all[sg_loc.receivers]),
+            "super_bcast": shard.all_gather,
+        }
+        return aggs, gathers, sg_loc, sw_loc, s_ok
+
     b_send_l, b_sup_l, b_m_l, b_w_l = bipartite_local_slice(
         shard, bgraph, bweights, k)
 
@@ -301,7 +499,7 @@ def make_hier_shard_aggs(shard: ShardTools, bgraph: Graph, bweights,
             "super": lambda x: gather_edge_endpoints(
                 x, s_plan, s_plan_t, s_r2s, interp),
         }
-        return aggs, gathers, sgraph, sweights
+        return aggs, gathers, sgraph, sweights, jnp.asarray(True)
 
     bw = jnp.where(b_m_l[:, None], b_w_l, 0.0)
     sw = jnp.where(sgraph.edge_mask[:, None], sweights, 0.0)
@@ -321,7 +519,7 @@ def make_hier_shard_aggs(shard: ShardTools, bgraph: Graph, bweights,
         "graph": shard.gather,
         "super": lambda x: (x[sgraph.senders], x[sgraph.receivers]),
     }
-    return aggs, gathers, sgraph, sweights
+    return aggs, gathers, sgraph, sweights, jnp.asarray(True)
 
 
 # ---------------------------------------------------------------------------
@@ -332,13 +530,17 @@ _NODE_SHARDED_FIELDS = ("x", "node_mask")
 
 
 def _model_out_specs(model_name: str, graph_axis, data_axis=None,
-                     batched=False):
+                     batched=False, pooled=False):
     """shard_map out_specs prefix tree for each model's forward outputs.
 
     Node/edge-space outputs come back sharded over the graph axis (shard_map
     reassembles the global array); supernode-space and aux outputs are
     replicated across it.  ``batched``: outputs carry a leading event-batch
-    dim (sharded over ``data_axis`` when given).
+    dim (sharded over ``data_axis`` when given).  ``pooled``: the
+    pooled-space partition is active (must equal
+    ``pooled_active(spec, max_clusters)``) -- BC/gMRT then return their
+    bipartite graph as this device's sender-contiguous block, which
+    shard_map reassembles into exactly the unsharded global edge order.
     """
     g = graph_axis
     lead = (data_axis,) if batched else ()
@@ -351,7 +553,8 @@ def _model_out_specs(model_name: str, graph_axis, data_axis=None,
     if model_name == "Embedding-HGNN-GMM":
         return (shd, shd, rep)              # emb, intermediate, aux
     # BC-HGNN-GMM / gMRT: (bgraph, scores, intermediate, aux)
-    return (rep, shd, shd, rep)
+    bg = Graph(shd, shd, shd) if pooled else rep
+    return (bg, shd, shd, rep)
 
 
 def make_sharded_train_step(pipeline, optimizer, mesh: Mesh, hparams: dict,
@@ -375,7 +578,9 @@ def make_sharded_train_step(pipeline, optimizer, mesh: Mesh, hparams: dict,
     spec = SpmdSpec(axis=graph_axis, n_parts=n_parts,
                     slack=float(hparams.get("halo_slack", 1.5)),
                     use_pallas=bool(hparams.get("use_pallas", False)),
-                    halo_backend=str(hparams.get("halo_backend", "xla")))
+                    halo_backend=str(hparams.get("halo_backend", "xla")),
+                    shard_pooled=bool(hparams.get("shard_pooled", True)))
+    pooled = pooled_active(spec, int(hparams.get("max_clusters", 1024)))
     d_ax = data_axis if data_axis in mesh.shape else None
 
     def per_event(params, buffers, x, node_mask, graph):
@@ -396,7 +601,8 @@ def make_sharded_train_step(pipeline, optimizer, mesh: Mesh, hparams: dict,
         fwd = shard_map(
             per_event, mesh=mesh,
             in_specs=(rep, rep, P(graph_axis), P(graph_axis), rep),
-            out_specs=(_model_out_specs(name, graph_axis), rep),
+            out_specs=(_model_out_specs(name, graph_axis,
+                                        pooled=pooled), rep),
             check_vma=False,
         )
 
@@ -417,7 +623,7 @@ def make_sharded_train_step(pipeline, optimizer, mesh: Mesh, hparams: dict,
             body, mesh=mesh,
             in_specs=(rep, rep, node_spec, node_spec, ev_rep),
             out_specs=(_model_out_specs(name, graph_axis, d_ax,
-                                        batched=True), ev_rep),
+                                        batched=True, pooled=pooled), ev_rep),
             check_vma=False,
         )
 
@@ -456,7 +662,9 @@ def make_sharded_forward(pipeline, mesh: Mesh, hparams: dict,
     spec = SpmdSpec(axis=graph_axis, n_parts=mesh.shape[graph_axis],
                     slack=float(hparams.get("halo_slack", 1.5)),
                     use_pallas=bool(hparams.get("use_pallas", False)),
-                    halo_backend=str(hparams.get("halo_backend", "xla")))
+                    halo_backend=str(hparams.get("halo_backend", "xla")),
+                    shard_pooled=bool(hparams.get("shard_pooled", True)))
+    pooled = pooled_active(spec, int(hparams.get("max_clusters", 1024)))
 
     def body(params, buffers, x, node_mask, graph):
         variables = {"params": params, **buffers}
@@ -467,7 +675,7 @@ def make_sharded_forward(pipeline, mesh: Mesh, hparams: dict,
     fwd = shard_map(
         body, mesh=mesh,
         in_specs=(rep, rep, P(graph_axis), P(graph_axis), rep),
-        out_specs=_model_out_specs(name, graph_axis),
+        out_specs=_model_out_specs(name, graph_axis, pooled=pooled),
         check_vma=False,
     )
     return jax.jit(fwd)

@@ -32,6 +32,7 @@ _TPU_DEFAULTS = {
     "gmm_iters": 60,
     # parallelism
     "mesh_shape": None,          # e.g. {"data": 4, "graph": 2}
+    "shard_pooled": True,        # partition supernode space with the graph axis
     "gradient_clip_val": 0.5,
 }
 

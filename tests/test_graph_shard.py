@@ -71,10 +71,11 @@ def _setup(name, overrides, n_particles=12, seed=3):
 
 
 def _sharded_loss_fn(model, pipeline, hparams, mesh, state, ev,
-                     axis="graph", halo_backend="xla"):
+                     axis="graph", halo_backend="xla", shard_pooled=True):
     spec = gs.SpmdSpec(axis=axis, n_parts=mesh.shape[axis],
                        slack=float(hparams.get("halo_slack", 2.0)),
-                       halo_backend=halo_backend)
+                       halo_backend=halo_backend, shard_pooled=shard_pooled)
+    pooled = gs.pooled_active(spec, int(hparams["max_clusters"]))
 
     def body(params, buffers, x, node_mask, graph):
         variables = {"params": params, **buffers}
@@ -86,7 +87,8 @@ def _sharded_loss_fn(model, pipeline, hparams, mesh, state, ev,
     fwd = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P()),
-        out_specs=(gs._model_out_specs(hparams["model"], axis), P()),
+        out_specs=(gs._model_out_specs(hparams["model"], axis,
+                                       pooled=pooled), P()),
         check_vma=False)
 
     def loss_fn(params):
@@ -313,3 +315,67 @@ def test_sharded_embedding_hgnn_runs():
     loss = jax.jit(loss_fn)(state.params)
     ref, _ = pipeline.loss(state.params, state.buffers, ev, 0, training=True)
     np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pooled-space partition (round-5): supernode rows / superedges / CC /
+# bipartite kNN row-blocked over the graph axis instead of replicated
+# (reference scope Modules/gnn_utils.py:138-152).
+# ---------------------------------------------------------------------------
+
+
+def test_pooled_matches_replicated_pooled():
+    """shard_pooled=True vs shard_pooled=False produce the same loss and
+    gradients (the pooled partition is a re-layout, not a numerics
+    change)."""
+    hparams, model, pipeline, ev, state = _setup("BC-HGNN-GMM", TINY)
+    mesh = make_mesh(data=1, graph=4)
+    loss_rep = _sharded_loss_fn(model, pipeline, hparams, mesh, state, ev,
+                                shard_pooled=False)
+    loss_pool = _sharded_loss_fn(model, pipeline, hparams, mesh, state, ev,
+                                 shard_pooled=True)
+    l0, g0 = jax.value_and_grad(jax.jit(loss_rep))(state.params)
+    l1, g1 = jax.value_and_grad(jax.jit(loss_pool))(state.params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    _assert_grads_close(g0, g1, rtol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["BC-HGNN-GMM", "Embedding-HGNN-GMM"])
+def test_pooled_flagship_8way_grads_match(name):
+    """VERDICT r4 acceptance: the pooled-sharded step matches the unsharded
+    step at FLAGSHIP shape on the full 8-device CPU mesh."""
+    hparams, model, pipeline, ev, state = _setup(
+        name, FLAGSHIP, n_particles=100, seed=0)
+    mesh = make_mesh(data=1, graph=8)
+
+    def ref_loss(params):
+        loss, _ = pipeline.loss(params, state.buffers, ev, 0, training=True)
+        return loss
+
+    l0, g0 = jax.value_and_grad(ref_loss)(state.params)
+    loss_fn = _sharded_loss_fn(model, pipeline, hparams, mesh, state, ev)
+    l1, g1 = jax.value_and_grad(jax.jit(loss_fn))(state.params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+    _assert_grads_close(g0, g1, rtol=1e-3)
+
+
+def test_replicated_pooled_shipped_train_step():
+    """shard_pooled=False keeps the replicated-pooled layout working at the
+    shipped Pallas+bf16 flags (the default train-step test now runs
+    pooled, so this is the legacy layout's only train-step coverage)."""
+    hparams, model, pipeline = model_selector(
+        "BC-HGNN-GMM", {**SHIPPED, "shard_pooled": False})
+    events = generate_dataset(2, seed=7, n_particles=12)
+    evs = [jax.tree.map(jnp.asarray, preprocess_event(e, hparams))
+           for e in events]
+    batch = stack_events(evs)
+    trainer = Trainer(hparams, model, pipeline, run_dir="/tmp/gs_pooled")
+    state = trainer.init_state(evs[0])
+    mesh = make_mesh(data=2, graph=4)
+    opt = make_optimizer(hparams, 2)
+    step = gs.make_sharded_train_step(pipeline, opt, mesh, hparams)
+    new_state, metrics = step(state, batch, 0)
+    assert np.isfinite(float(metrics["training_loss"]))
+    for leaf in jax.tree.leaves(new_state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
