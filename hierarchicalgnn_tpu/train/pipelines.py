@@ -92,10 +92,26 @@ class EmbeddingPipeline:
 
     def _training_samples(self, embeddings, batch: Event):
         hp = self.hparams
-        # predicted pairs: fixed-radius kNN in embedding space
-        ps, pr, pmask, _ = knn_graph(
-            embeddings, hp["train_r"], hp["knn"], mask=batch.node_mask,
-            block_size=hp.get("knn_block_size", 1024))
+        # predicted pairs: fixed-radius kNN in embedding space.  At full-
+        # event scale (~1e5 hits) the quadratic brute force is replaced by
+        # the cell-blocked grid search (ops/grid_knn.py; the reference's
+        # FRNN grid regime, ``Modules/utils.py:228-239``) -- select with
+        # ``knn_backend: grid``.  Its exactness certificate is surfaced as
+        # the ``knn_exact`` metric (1.0 = provably identical to brute).
+        self._knn_exact = None
+        if hp.get("knn_backend", "brute") == "grid":
+            from hierarchicalgnn_tpu.ops.grid_knn import grid_knn_graph
+
+            n = embeddings.shape[0]
+            ps, pr, pmask, _, exact = grid_knn_graph(
+                embeddings, hp["train_r"], hp["knn"], mask=batch.node_mask,
+                n_cells=int(hp.get("knn_grid_cells") or max(n // 256, 16)),
+                n_probe=int(hp.get("knn_grid_probe", 16)))
+            self._knn_exact = exact
+        else:
+            ps, pr, pmask, _ = knn_graph(
+                embeddings, hp["train_r"], hp["knn"], mask=batch.node_mask,
+                block_size=hp.get("knn_block_size", 1024))
         # bidirectional signal-masked truth
         tg = batch.true_graph
         ts = jnp.concatenate([tg.senders, tg.receivers])
@@ -164,6 +180,8 @@ class EmbeddingPipeline:
             embeddings = out
             s, r, y, mask = self._training_samples(embeddings, batch)
             loss = self._hinge(embeddings, s, r, y, mask, batch)
+        if self._knn_exact is not None:
+            metrics["knn_exact"] = self._knn_exact.astype(jnp.float32)
         metrics["training_loss"] = loss
         return loss, metrics
 
