@@ -228,7 +228,11 @@ def bench_sddmm(spmm_arrays, seed=0):
       through round 3).
     """
     from hierarchicalgnn_tpu.ops.pallas.sddmm_kernel import sorted_sddmm
-    from hierarchicalgnn_tpu.ops.sddmm import edge_cosine_likelihood, edge_dot
+    from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
+        build_sorted_plan, build_transposed_plan, gather_edge_endpoints)
+    from hierarchicalgnn_tpu.ops.sddmm import (
+        cosine_from_endpoints, edge_cosine_likelihood, edge_dot,
+        normalize_unit_f32)
 
     interpret = jax.default_backend() != "tpu"
     plan, data_sorted = spmm_arrays
@@ -242,14 +246,28 @@ def bench_sddmm(spmm_arrays, seed=0):
         emb = jax.random.normal(ke, (N_NODES, 8), jnp.float32)
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
         feat = jax.random.normal(kf, (N_NODES, DIM), jnp.float32)
-        return senders, receivers, mask, emb, feat
+        # the production clustering formulation (models/blocks.py): a
+        # receiver-sorted plan + transposed plan over the SAME edges
+        cplan = build_sorted_plan(senders, receivers, mask, N_NODES)
+        cplan_t, c_r2s = build_transposed_plan(cplan, senders, receivers,
+                                               mask, N_NODES)
+        return senders, receivers, mask, emb, feat, cplan, cplan_t, c_r2s
 
-    senders, receivers, mask, emb, feat = prep(jax.random.key(seed))
+    (senders, receivers, mask, emb, feat, cplan, cplan_t,
+     c_r2s) = prep(jax.random.key(seed))
 
     def cos_op(i, e, s, r, m):
         out = edge_cosine_likelihood(
             e * (1.0 + i.astype(jnp.float32) * 1e-6), s, r, mask=m)
         return out[0]
+
+    def cos_sorted_op(i, e, m, pl, pl_t, r2s):
+        # the round-5 production path: blocked-CSR one-hot MXU endpoint
+        # gather (ops/pallas/sorted_agg.gather_edge_endpoints) + fused VPU
+        # dot -- exactly models/blocks.py::clustering's endpoint_gather
+        en = normalize_unit_f32(e * (1.0 + i.astype(jnp.float32) * 1e-6))
+        x_s, x_r = gather_edge_endpoints(en, pl, pl_t, r2s, interpret)
+        return cosine_from_endpoints(x_s, x_r, mask=m)[0]
 
     def dot_kernel_op(i, d, rows, pl):
         rows = rows * (1.0 + i.astype(jnp.float32) * 1e-6)
@@ -260,18 +278,56 @@ def bench_sddmm(spmm_arrays, seed=0):
                        s, r, mask=m)
         return out[0]
 
-    t_cos = _time_op(cos_op, "sddmm/cosine-emb8", emb, senders, receivers,
-                     mask)
-    t_dot = t_xla = None
+    t_cos_sorted = _time_op(cos_sorted_op, "sddmm/cosine-emb8-sorted", emb,
+                            cplan.edge_mask_sorted, cplan, cplan_t, c_r2s)
+    t_cos = t_dot = t_xla = None
+    if _elapsed() < GUARD_S:
+        t_cos = _time_op(cos_op, "sddmm/cosine-emb8-xla-gather", emb,
+                         senders, receivers, mask)
     if _elapsed() < GUARD_S + 60:
         t_dot = _time_op(dot_kernel_op, f"sddmm/dot-d{DIM}-kernel",
                          data_sorted, feat, plan)
     if _elapsed() < GUARD_S + 60:
         t_xla = _time_op(dot_xla_op, f"sddmm/dot-d{DIM}-xla", feat, senders,
                          receivers, mask)
-    return {"cosine_emb8": N_EDGES / t_cos,
+    return {"cosine_emb8": N_EDGES / t_cos_sorted,
+            "cosine_emb8_xla_gather": N_EDGES / t_cos if t_cos else None,
             f"dot_d{DIM}": N_EDGES / t_dot if t_dot else None,
             f"dot_d{DIM}_xla_gather": N_EDGES / t_xla if t_xla else None}
+
+
+def env_fingerprint():
+    """Environment fingerprint (VERDICT r4 weak 4: round-over-round drift
+    was unattributable without one): library versions, backend identity,
+    and a FIXED-shape reference matmul time -- the same [2048]^3 f32
+    matmul forever, so axon service/toolchain drift separates from repo
+    code changes in later rounds' A/Bs.
+    """
+    import importlib.metadata as md
+
+    fp = {"jax": jax.__version__}
+    for pkg in ("jaxlib", "libtpu"):
+        try:
+            fp[pkg] = md.version(pkg)
+        except md.PackageNotFoundError:
+            fp[pkg] = None
+    fp["backend"] = jax.default_backend()
+    try:
+        dev = jax.devices()[0]
+        fp["device_kind"] = getattr(dev, "device_kind", None)
+        fp["platform_version"] = getattr(dev.client, "platform_version", None)
+    except Exception:
+        pass
+
+    def ref_op(i, a, b):
+        a = a * (1.0 + i.astype(jnp.float32) * 1e-6)
+        return jnp.dot(a, b)[0, 0]
+
+    key = jax.random.key(1234)
+    a = jax.random.normal(key, (2048, 2048), jnp.float32)
+    t = _time_op(ref_op, "ref-matmul-2048", a, a, iters=32)
+    fp["ref_matmul_2048_ms"] = round(t * 1e3, 4)
+    return fp
 
 
 _REPORT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -328,6 +384,11 @@ def main():
         print(json.dumps({"xla_f32": bench_xla_baseline()}), flush=True)
         return
 
+    try:
+        fingerprint = env_fingerprint()
+    except Exception as e:  # never lose the headline to the fingerprint
+        _status(f"fingerprint failed: {e!r}")
+        fingerprint = None
     spmm, spmm_arrays = bench_spmm()
     # Guard BEFORE committing to more remote compiles: the headline metric
     # must print even on a degraded compile service.
@@ -350,6 +411,7 @@ def main():
             {k: rnd(v) for k, v in sddmm.items()} if sddmm else None),
         "shape": {"n_nodes": N_NODES, "n_edges": N_EDGES, "dim": DIM},
         "backend": jax.default_backend(),
+        "fingerprint": fingerprint,
         "wall_s": round(_elapsed(), 1),
     }
     with open(_REPORT_PATH, "w") as f:
@@ -365,6 +427,7 @@ def main():
         else None,
         "sddmm_dot_d256_edges_per_s": rnd(sddmm.get(f"dot_d{DIM}"))
         if sddmm else None,
+        "fingerprint": fingerprint,
     }), flush=True)
 
 

@@ -24,7 +24,8 @@ from flax import linen as nn
 from hierarchicalgnn_tpu.ops import gmm as gmm_ops
 from hierarchicalgnn_tpu.ops.connected import cluster_labels
 from hierarchicalgnn_tpu.ops.graph import Graph
-from hierarchicalgnn_tpu.ops.sddmm import edge_cosine_likelihood
+from hierarchicalgnn_tpu.ops.sddmm import (
+    cosine_from_endpoints, edge_cosine_likelihood, normalize_unit_f32)
 from hierarchicalgnn_tpu.ops.segment import (
     make_aggregator, segment_mean, segment_sum)
 from hierarchicalgnn_tpu.models.cells import HierarchicalGNNCell, InteractionGNNCell
@@ -173,7 +174,8 @@ class HierarchicalGNNBlock(nn.Module):
     emb_output: bool = False
 
     def clustering(self, score_cut_var, embeddings, graph: Graph, node_mask,
-                   training: bool, plan=None, shard=None):
+                   training: bool, plan=None, shard=None,
+                   endpoint_gather=None):
         """GMM edge-cut + connected components (reference ``HGNN_GMM.py:184-238``).
 
         Runs under stop-gradient; updates the ``score_cut`` EMA buffer.
@@ -189,8 +191,17 @@ class HierarchicalGNNBlock(nn.Module):
         """
         cfg = self.cfg
         emb = jax.lax.stop_gradient(embeddings)
-        likelihood = edge_cosine_likelihood(
-            emb, graph.senders, graph.receivers, mask=graph.edge_mask)
+        if endpoint_gather is not None:
+            # kernel-backed cosine: the [E, d] endpoint rows come from the
+            # sorted-plan one-hot MXU gather (the XLA row-gather form
+            # measured 178M edges/s vs 466M for the sorted-native SDDMM,
+            # round-4 bench) -- the dot is a fused VPU multiply-reduce.
+            x_s, x_r = endpoint_gather()
+            likelihood = cosine_from_endpoints(x_s, x_r,
+                                               mask=graph.edge_mask)
+        else:
+            likelihood = edge_cosine_likelihood(
+                emb, graph.senders, graph.receivers, mask=graph.edge_mask)
         if shard is not None:
             lik_fit = shard.all_gather(likelihood)
             mask_fit = shard.all_gather(graph.edge_mask)
@@ -302,10 +313,13 @@ class HierarchicalGNNBlock(nn.Module):
 
         # --- pooling (replicated across the graph axis when sharded) ---
         if shard is not None and pooled:
-            # partitioned clustering: local-edge likelihood + sharded CC
+            # partitioned clustering: local-edge likelihood (kernel-backed
+            # endpoint gather in Pallas mode) + sharded CC
             clusters, n_clusters = self.clustering(
                 score_cut, emb_global, shard.local_graph, mask_global,
-                training, shard=shard)
+                training, shard=shard,
+                endpoint_gather=lambda: shard.gather(
+                    normalize_unit_f32(jax.lax.stop_gradient(embeddings))))
         elif shard is not None:
             if shard.spec.use_pallas:
                 # Sorted-native CC for the replicated pooled space too: a
@@ -327,8 +341,13 @@ class HierarchicalGNNBlock(nn.Module):
                     score_cut, emb_global, shard.full_graph, mask_global,
                     training, plan=None)
         else:
+            eg = None
+            if gather is not None and plan is not None:
+                eg = lambda: gather(
+                    normalize_unit_f32(jax.lax.stop_gradient(embeddings)))
             clusters, n_clusters = self.clustering(
-                score_cut, embeddings, graph, node_mask, training, plan=plan)
+                score_cut, embeddings, graph, node_mask, training, plan=plan,
+                endpoint_gather=eg)
         in_cluster = clusters >= 0
         seg = jnp.where(in_cluster, clusters, 0)
         if pooled:

@@ -90,6 +90,33 @@ def edge_distance(src_features, dst_features, senders, receivers, mask=None,
     return out
 
 
+def normalize_unit_f32(embeddings):
+    """f32 unit rows with a zero-safe vjp (see edge_cosine_likelihood)."""
+    emb = embeddings.astype(jnp.float32)
+    sq = jnp.sum(jnp.square(emb), axis=-1, keepdims=True)
+    return emb * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+
+
+def cosine_from_endpoints(x_s, x_r, mask=None, clamp: float = 1e-7):
+    """atanh(clamped <x_s, x_r>) from already-gathered unit endpoint rows.
+
+    The kernel-backed half of the GMM edge likelihood (reference
+    ``Modules/BipartiteClassification/Models/HGNN_GMM.py:188-189``): in
+    sorted-native mode the [E, d] endpoint rows come from the blocked-CSR
+    one-hot MXU gather (``ops.pallas.sorted_agg.gather_edge_endpoints``)
+    instead of XLA's serial dynamic-slice row gather -- the dot itself is
+    a fused VPU multiply-reduce.  Inputs must be f32 unit rows
+    (:func:`normalize_unit_f32`); see :func:`edge_cosine_likelihood` for
+    why this stays an f32 island on the bf16 data path.
+    """
+    cos = jnp.sum(x_s.astype(jnp.float32) * x_r.astype(jnp.float32), axis=-1)
+    cos = jnp.clip(cos, -1.0 + clamp, 1.0 - clamp)
+    out = jnp.arctanh(cos)
+    if mask is not None:
+        out = jnp.where(mask, out, 0.0)
+    return out
+
+
 def edge_cosine_likelihood(embeddings, senders, receivers, mask=None,
                            clamp: float = 1e-7):
     """atanh(clamped cosine similarity) of unit embeddings per edge.
@@ -107,15 +134,8 @@ def edge_cosine_likelihood(embeddings, senders, receivers, mask=None,
     pooled statistics are an f32 island; rows are re-normalized in f32
     because bf16-quantized unit rows carry O(1e-3) norm error.
     """
-    emb = embeddings.astype(jnp.float32)
     # Safe-at-zero normalization (same form as models.blocks.l2_normalize):
     # a norm-based x/max(||x||, eps) has a NaN vjp at padded all-zero rows
     # (0/0 through the norm; the zero cotangent does not stop 0*NaN=NaN).
-    sq = jnp.sum(jnp.square(emb), axis=-1, keepdims=True)
-    emb = emb * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
-    cos = edge_dot(emb, emb, senders, receivers)
-    cos = jnp.clip(cos, -1.0 + clamp, 1.0 - clamp)
-    out = jnp.arctanh(cos)
-    if mask is not None:
-        out = jnp.where(mask, out, 0.0)
-    return out
+    emb = normalize_unit_f32(embeddings)
+    return cosine_from_endpoints(emb[senders], emb[receivers], mask, clamp)

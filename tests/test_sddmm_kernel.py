@@ -105,3 +105,34 @@ def test_scaled_gather_matches(rng):
                          np.asarray(rows)[idx], 0.0)
     np.testing.assert_allclose(np.asarray(out1), expected1, rtol=1e-5,
                                atol=1e-4)
+
+
+def test_sorted_cosine_matches_gather_form():
+    """The kernel-backed cosine likelihood (endpoint gather + fused VPU
+    dot, the round-5 clustering formulation in models/blocks.py) equals
+    the XLA gather form exactly.  Reference parity target:
+    ``Modules/BipartiteClassification/Models/HGNN_GMM.py:188-189``."""
+    import jax
+
+    from hierarchicalgnn_tpu.ops.pallas.sorted_agg import (
+        build_sorted_plan, build_transposed_plan, gather_edge_endpoints)
+    from hierarchicalgnn_tpu.ops.sddmm import (
+        cosine_from_endpoints, edge_cosine_likelihood, normalize_unit_f32)
+
+    key = jax.random.key(0)
+    ks, kr, ke = jax.random.split(key, 3)
+    n, e = 256, 2048
+    s = jax.random.randint(ks, (e,), 0, n, jnp.int32)
+    r = jax.random.randint(kr, (e,), 0, n, jnp.int32)
+    m = jnp.arange(e) % 5 != 0
+    emb = jax.random.normal(ke, (n, 8))
+    plan = build_sorted_plan(s, r, m, n)
+    plan_t, r2s = build_transposed_plan(plan, s, r, m, n)
+    x_s, x_r = gather_edge_endpoints(normalize_unit_f32(emb), plan, plan_t,
+                                     r2s, interpret=True)
+    got = cosine_from_endpoints(x_s, x_r, mask=plan.edge_mask_sorted)
+    want = edge_cosine_likelihood(emb, plan.senders_sorted,
+                                  plan.receivers_sorted,
+                                  mask=plan.edge_mask_sorted)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
