@@ -164,6 +164,26 @@ class Trainer:
         # compile before falling back.
         self._packed_broken = bool(self.hparams.get("force_split_step"))
         self._packed_ok = False   # has the packed step ever completed?
+        # Toolchain canary (round-5): force_split_step ships with the
+        # fingerprint of the toolchain the SIGSEGV was established under
+        # (force_split_step_env).  If the live toolchain differs, re-try
+        # the packed compile ONCE -- the first-call INTERNAL-error fallback
+        # below contains a still-broken compiler, so the worst case is one
+        # doomed ~1-3 min compile per toolchain change, and the 1-program
+        # form is not disabled forever once upstream fixes it.  The
+        # standalone repro artifact for upstream lives at
+        # benchmarks/repro_fused_sigsegv.stablehlo.bin
+        # (scripts/export_fused_repro.py).
+        crash_env = self.hparams.get("force_split_step_env")
+        if self._packed_broken and crash_env:
+            from hierarchicalgnn_tpu.utils.env import toolchain_fingerprint
+            live = toolchain_fingerprint()
+            if {k: crash_env.get(k) for k in live} != live:
+                print("force_split_step: toolchain fingerprint changed "
+                      f"({crash_env} -> {live}); re-trying the packed "
+                      "train-step compile once", flush=True)
+                self._packed_broken = False
+                self._canary_retry = True
 
         def _split_step(state, batch, epoch):
             """Two-program fallback (same code as the accumulation path).
@@ -199,6 +219,10 @@ class Trainer:
                       flush=True)
                 self._packed_broken = True
                 return _split_step(state, batch, epoch)
+            if not self._packed_ok and getattr(self, "_canary_retry", False):
+                print("force_split_step canary: the packed train step now "
+                      "compiles under the new toolchain; split-step "
+                      "containment cleared for this run", flush=True)
             self._packed_ok = True
             metrics = dict(zip(self._metric_names, vals.tolist()))
             if debug_numerics and not np.isfinite(vals).all():

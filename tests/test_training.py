@@ -355,3 +355,41 @@ def test_force_split_step_config():
     assert calls["n"] == 0
     assert np.isfinite(metrics["training_loss"])
     assert "grad_norm" in metrics  # schema matches the packed step
+
+
+def test_force_split_step_toolchain_canary():
+    """force_split_step_env records the toolchain the compiler SIGSEGV was
+    established under.  Same fingerprint -> stay split (never attempt the
+    packed compile); changed fingerprint -> re-try the packed step once
+    and clear the containment when it compiles (round-5 canary)."""
+    from hierarchicalgnn_tpu.utils.env import toolchain_fingerprint
+
+    live = toolchain_fingerprint()
+    events = generate_dataset(4, seed=3, n_particles=10)
+
+    # 1) fingerprint matches -> containment stays, packed never attempted
+    hparams, model, pipeline = model_selector(
+        "EC-IN", {**TINY, "force_split_step": True,
+                  "force_split_step_env": dict(live)})
+    trainer = Trainer(hparams, model, pipeline, run_dir="/tmp/canary_same",
+                      log_every_n_steps=0)
+    trainset, _, _ = trainer.make_datasets(events)
+    state = trainer.init_state(trainset[0][1])
+    trainer._build_steps()
+    assert trainer._packed_broken
+
+    # 2) stale fingerprint -> one packed retry; it compiles here, so the
+    # containment clears and training proceeds through the packed step
+    stale = dict(live, jax="0.0.0-crashed-under")
+    hparams2, model2, pipeline2 = model_selector(
+        "EC-IN", {**TINY, "force_split_step": True,
+                  "force_split_step_env": stale})
+    trainer2 = Trainer(hparams2, model2, pipeline2,
+                       run_dir="/tmp/canary_stale", log_every_n_steps=0)
+    trainset2, _, _ = trainer2.make_datasets(events)
+    state2 = trainer2.init_state(trainset2[0][1])
+    trainer2._build_steps()
+    assert not trainer2._packed_broken  # retry path engaged
+    new_state, metrics = trainer2._train_step(state2, trainset2[0][1], 0)
+    assert trainer2._packed_ok          # packed step compiled and ran
+    assert np.isfinite(metrics["training_loss"])
