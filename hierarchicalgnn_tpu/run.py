@@ -148,17 +148,6 @@ def main(argv=None):
 
     import jax
 
-    # Effective platform: jax.config wins over the env var (tests force
-    # CPU via jax.config; the pinned JAX_PLATFORMS=axon env would
-    # otherwise make a CPU-only run queue behind a real chip user).
-    platforms = jax.config.jax_platforms or os.environ.get(
-        "JAX_PLATFORMS", "")
-    if "cpu" not in str(platforms):
-        # Single-tenant chip: serialize device users instead of racing a
-        # concurrent run (the loser's stalls masquerade as tunnel flakes).
-        from hierarchicalgnn_tpu.utils import device_lock
-        device_lock.acquire(wait_s=6 * 3600.0, status=print)
-    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="hierarchicalgnn_tpu.run")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (("train", cmd_train), ("resume", cmd_resume),
@@ -181,7 +170,22 @@ def main(argv=None):
             sp.add_argument("--source-run", required=True)
             sp.add_argument("--skip", action="append",
                             help="param path prefixes to keep from init")
+    # Parse BEFORE taking the device lock (advisor r4): --help or a typo'd
+    # subcommand must print usage immediately, not hang 6h behind an
+    # active training run.
     args = p.parse_args(argv)
+
+    # Effective platform: jax.config wins over the env var (tests force
+    # CPU via jax.config; the pinned JAX_PLATFORMS=axon env would
+    # otherwise make a CPU-only run queue behind a real chip user).
+    platforms = jax.config.jax_platforms or os.environ.get(
+        "JAX_PLATFORMS", "")
+    if "cpu" not in str(platforms):
+        # Single-tenant chip: serialize device users instead of racing a
+        # concurrent run (the loser's stalls masquerade as tunnel flakes).
+        from hierarchicalgnn_tpu.utils import device_lock
+        device_lock.acquire(wait_s=6 * 3600.0, status=print)
+    _enable_compile_cache()
     args.fn(args)
 
 

@@ -30,7 +30,17 @@ import os
 import sys
 import time
 
-DEFAULT_PATH = "/tmp/hgnn_device.lock"
+def _default_path() -> str:
+    """Per-uid lock path (advisor r4): a fixed world-writable /tmp name
+    lets another user squat the lock (DoS) or plant a symlink; prefer the
+    user-private runtime dir when present."""
+    base = os.environ.get("XDG_RUNTIME_DIR")
+    if base and os.path.isdir(base):
+        return os.path.join(base, "hgnn_device.lock")
+    return f"/tmp/hgnn_device.{os.getuid()}.lock"
+
+
+DEFAULT_PATH = _default_path()
 
 # Module-level keepalive: the fd must stay open for the flock's lifetime.
 _held: list = []
@@ -54,7 +64,9 @@ def acquire(path: str = DEFAULT_PATH, wait_s: float = 600.0,
     (caller continues at its own risk -- used by bench.py so a wedged
     holder degrades the measurement instead of erasing it).
     """
-    fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o666)
+    # O_NOFOLLOW: refuse a planted symlink instead of truncating its
+    # target; 0o600: the lock (and holder info) is per-user state.
+    fd = os.open(path, os.O_RDWR | os.O_CREAT | os.O_NOFOLLOW, 0o600)
     deadline = time.monotonic() + wait_s
     warned = False
     while True:

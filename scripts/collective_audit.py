@@ -40,8 +40,22 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
-                           " --xla_force_host_platform_device_count=8").strip()
+# Pre-scan --devices BEFORE importing jax (advisor r4): the device count
+# must be baked into XLA_FLAGS at backend init, so argparse alone cannot
+# honor --devices > 8.
+def _prescan_devices(default=8):
+    for i, a in enumerate(sys.argv):
+        if a == "--devices" and i + 1 < len(sys.argv):
+            return int(sys.argv[i + 1])
+        if a.startswith("--devices="):
+            return int(a.split("=", 1)[1])
+    return default
+
+
+_N_DEVICES = _prescan_devices()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") +
+    f" --xla_force_host_platform_device_count={_N_DEVICES}").strip()
 
 import jax
 
@@ -108,9 +122,13 @@ def parse_collectives(hlo_text):
         result, kind, started = m.group(1), m.group(2), m.group(3)
         tokens = re.findall(r"\w+\[[\d,]*\]", result)
         if started and len(tokens) >= 2:
-            # async-start result tuple = (operand, result, ...): the real
-            # transfer is the RESULT component; drop the operand alias.
-            tokens = tokens[1:2]
+            # async-start result tuple = (operands..., results..., ctx):
+            # a variadic start carries k operand aliases then k results
+            # (advisor r4: tokens[1:2] undercounted variadic starts).
+            # Sum the RESULT components: the second half of the
+            # (operand, result) pairs.
+            k = len(tokens) // 2
+            tokens = tokens[k:2 * k]
         nbytes = sum(_shape_bytes(t) for t in tokens)
         if nbytes:
             found.append((kind, nbytes, s[:160]))

@@ -20,6 +20,7 @@ import json
 import multiprocessing
 import os
 import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -125,7 +126,7 @@ class TestDeviceLock:
             "device_lock.acquire(path=%r, wait_s=0.0); "
             "print('held', flush=True); time.sleep(30)"
             % (os.path.dirname(NATIVE_DIR), path))
-        child = subprocess.Popen(["python", "-c", script],
+        child = subprocess.Popen([sys.executable, "-c", script],
                                  stdout=subprocess.PIPE, text=True)
         try:
             assert child.stdout.readline().strip() == "held"
@@ -147,5 +148,5 @@ class TestDeviceLock:
             "from hierarchicalgnn_tpu.utils import device_lock; "
             "device_lock.acquire(path=%r, wait_s=0.0)"
             % (os.path.dirname(NATIVE_DIR), path))
-        subprocess.run(["python", "-c", script], check=True, timeout=120)
+        subprocess.run([sys.executable, "-c", script], check=True, timeout=120)
         assert device_lock.acquire(path=path, wait_s=0.0)
