@@ -160,6 +160,10 @@ def main():
     ap.add_argument("--ring-gbps", type=float, default=90.0,
                     help="assumed per-chip ring bandwidth, GB/s (v5e: 4 ICI "
                          "links; a bidirectional 1D ring uses 2 at ~45 GB/s)")
+    ap.add_argument("--replicated-ms", type=float, default=None,
+                    help="measured replicated-remainder time under the "
+                         "pooled partition (chip phase probes); adds a "
+                         "rho=measured row to the projection")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -207,10 +211,14 @@ def main():
         T = args.anchor_ms
         row = {"devices": gi, "per_chip_traffic_MB": round(traffic / 1e6, 2),
                "t_ici_ms": round(t_ici_ms, 3), "efficiency_vs_rho": {}}
-        for rho in (0.0, 0.05, 0.10):
+        rhos = [0.0, 0.01, 0.02, 0.035, 0.05, 0.10]
+        labels = [f"rho={r:.2f}" for r in rhos]
+        if args.replicated_ms is not None:
+            rhos.append(args.replicated_ms / T)
+            labels.append(f"rho=measured({args.replicated_ms}ms)")
+        for rho, label in zip(rhos, labels):
             step_ms = rho * T + (1 - rho) * T / gi + t_ici_ms
-            row["efficiency_vs_rho"][f"rho={rho:.2f}"] = round(
-                T / (gi * step_ms), 4)
+            row["efficiency_vs_rho"][label] = round(T / (gi * step_ms), 4)
         return row
 
     report = {
@@ -220,11 +228,27 @@ def main():
                  "path) on a virtual CPU mesh; per-chip ring traffic from "
                  "the emitted collectives; efficiency projected against "
                  "the MEASURED 1-chip anchor "
-                 f"({args.anchor_ms} ms, scaling_r04.json) assuming no "
-                 "compute/collective overlap (conservative) at "
+                 f"({args.anchor_ms} ms) assuming no compute/collective "
+                 "overlap (conservative) at "
                  f"{args.ring_gbps} GB/s per-chip ring bandwidth.  rho = "
-                 "fraction of the step that stays replicated (pooled "
-                 "space); warm-state phase probes bound it at ~5-12%."),
+                 "fraction of the step that stays replicated.  Round 5: "
+                 "the pooled space (supernode/superedge MLPs and "
+                 "aggregations, connected components, bipartite kNN, "
+                 "cluster means) is PARTITIONED (shard_pooled, "
+                 "parallel/graph_shard.py); what remains replicated is "
+                 "GMM-EM+cut (~1.4 ms), the C x C super-kNN (~2 ms), "
+                 "auction matching (~0.3 ms warm), edge-partition/plan "
+                 "argsorts and the CC pointer jumps -- the measured "
+                 "remainder bound is recorded in "
+                 "replicated_remainder_ms."),
+        "shard_pooled": bool(hparams.get("shard_pooled", True)),
+        "replicated_remainder_ms": args.replicated_ms,
+        "while_loop_caveat": (
+            "the sharded-CC hop all_gather([n_local] s32) sits inside a "
+            "lax.while_loop and is counted once here though it executes "
+            "up to ~64 times; its bytes (<1 MB total) are negligible but "
+            "its latency term (~0.3-0.6 ms at 8 chips) does not shrink "
+            "with G -- treat it as part of the replicated remainder"),
         "mesh": {"graph": g},
         "shape": {"n_nodes": int(ev.x.shape[0]),
                   "n_edges_padded": int(ev.graph.capacity),
@@ -249,7 +273,7 @@ def main():
     }
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "benchmarks", "collective_audit_r04.json")
+        "benchmarks", "collective_audit_r05.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     _status(f"wrote {out}")

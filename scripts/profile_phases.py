@@ -228,6 +228,112 @@ def main():
     print(f"{'matching_warm':28s} {results['matching_warm_ms']:8.1f} ms",
           flush=True)
 
+    # --- round-5: replicated remainder under the POOLED partition ---
+    # Everything that still runs identically on every device once
+    # shard_pooled row-blocks the supernode space (parallel/
+    # graph_shard.py): GMM-EM + cut, the C x C super-kNN + symmetrize,
+    # the edge-partition argsorts, the CC pointer-jump/convergence
+    # residue, and the replicated loss (incl. matching).  The sum feeds
+    # scripts/collective_audit.py --replicated-ms (the rho=measured row).
+    from hierarchicalgnn_tpu.models.blocks import l2_normalize
+    from hierarchicalgnn_tpu.ops.graph import symmetrize
+    from hierarchicalgnn_tpu.ops.knn import knn as knn_query
+    from hierarchicalgnn_tpu.ops.knn import knn_to_edges
+    from hierarchicalgnn_tpu.ops.graph import Graph as _Graph
+    from hierarchicalgnn_tpu.ops.segment import segment_mean
+    from hierarchicalgnn_tpu.parallel.graph_shard import (
+        SpmdSpec, partition_edges)
+
+    def gmm_op(k):
+        def body(i, acc):
+            g2 = gmm_ops.fit_gmm2(lik * (1.0 + i.astype(jnp.float32) * 1e-9),
+                                  plan.edge_mask_sorted, iters=60)
+            cut, _ = gmm_ops.solve_cut(g2, 5.0)
+            return acc + cut
+        return jax.lax.fori_loop(0, k, body, 0.0)
+
+    results["gmm_cut_ms"] = round(timed(gmm_op, args.iters) * 1e3, 2)
+    print(f"{'gmm_cut':28s} {results['gmm_cut_ms']:8.1f} ms", flush=True)
+
+    clusters_w = aux["clusters"]
+    in_cl = clusters_w >= 0
+    seg_w = jnp.where(in_cl, clusters_w, 0)
+    means_w = l2_normalize(segment_mean(emb, seg_w, hp["max_clusters"],
+                                        mask=in_cl))
+    cval = jnp.arange(hp["max_clusters"]) < jnp.int32(n_clusters_warm)
+    means_w = jnp.where(cval[:, None], means_w, 0.0)
+
+    def superknn_op(k):
+        def body(i, acc):
+            m2 = means_w * (1.0 + i.astype(jnp.float32) * 1e-9)
+            idx, d2 = knn_query(m2, m2, 10, 2.0, q_mask=cval, p_mask=cval,
+                                block_size=hp.get("knn_block_size", 1024))
+            s_, r_, em = knn_to_edges(idx)
+            sg = symmetrize(_Graph(s_, r_, em))
+            return acc + jnp.sum(sg.edge_mask.astype(jnp.float32))
+        return jax.lax.fori_loop(0, k, body, 0.0)
+
+    results["super_knn_ms"] = round(timed(superknn_op, args.iters) * 1e3, 2)
+    print(f"{'super_knn':28s} {results['super_knn_ms']:8.1f} ms", flush=True)
+
+    spec8 = SpmdSpec(n_parts=8)
+
+    def partition_op(k):
+        def body(i, acc):
+            g8 = _Graph(graph.senders,
+                        graph.receivers + (0 * i).astype(jnp.int32), graph.edge_mask)
+            parts, slot, ok = partition_edges(g8, n, spec8)
+            return acc + slot[0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, k, body, 0.0)
+
+    results["partition_edges_ms"] = round(
+        timed(partition_op, args.iters) * 1e3, 2)
+    print(f"{'partition_edges(x1 of 2)':28s} "
+          f"{results['partition_edges_ms']:8.1f} ms", flush=True)
+
+    jump_iters = 2 * max(results.get("cc_warm_while_iters", 4), 1)
+
+    def jump_op(k):
+        def body(i, acc):
+            l = jnp.arange(n, dtype=jnp.int32) + (0 * i).astype(jnp.int32)
+
+            def one(j, lab):
+                for _ in range(3):
+                    lab = jnp.minimum(lab, lab[lab])
+                return jnp.where(jnp.any(lab != l), lab, lab)
+
+            l = jax.lax.fori_loop(0, jump_iters, one, l)
+            return acc + l[0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, k, body, 0.0)
+
+    results["cc_jump_residue_ms"] = round(
+        timed(jump_op, args.iters) * 1e3, 2)
+    print(f"{'cc_jump_residue':28s} "
+          f"{results['cc_jump_residue_ms']:8.1f} ms", flush=True)
+
+    def loss_op(k):
+        def body(i, acc):
+            # i-dependent scores so XLA cannot hoist the loss out of the loop
+            out_i = (bgraph_w, scores * (1.0 + i.astype(jnp.float32) * 1e-9),
+                     intermediate, aux)
+            loss, _ = pipeline.loss_from_outputs(out_i, batch, 0)
+            return acc + loss
+        return jax.lax.fori_loop(0, k, body, 0.0)
+
+    results["loss_replicated_ms"] = round(
+        timed(loss_op, args.iters) * 1e3, 2)
+    print(f"{'loss_replicated(incl match)':28s} "
+          f"{results['loss_replicated_ms']:8.1f} ms", flush=True)
+
+    compact_ms = max(results["cluster_labels_warm_ms"]
+                     - results["cc_warm_ms"], 0.0)
+    results["pooled_replicated_remainder_ms"] = round(
+        results["gmm_cut_ms"] + results["super_knn_ms"]
+        + 2 * results["partition_edges_ms"] + results["cc_jump_residue_ms"]
+        + results["loss_replicated_ms"] + compact_ms, 2)
+    print(f"{'POOLED REPLICATED REMAINDER':28s} "
+          f"{results['pooled_replicated_remainder_ms']:8.1f} ms", flush=True)
+
     print(json.dumps({"dtype": args.dtype or "float32",
                       "warmup": args.warmup, "results": results}))
 
