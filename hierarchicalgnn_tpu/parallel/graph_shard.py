@@ -26,15 +26,22 @@ Partitioning scheme (one event across the mesh ``graph`` axis):
     ring collective rides ICI.  (The Pallas bidirectional-ring RDMA gather
     from ``ops/pallas/ring_gather.py`` drops in here; the XLA collective is
     the default because it interprets everywhere.)
-  * **Supernode space replicated**: there are <= max_clusters supernodes
-    (tiny next to the node space), so clustering, GMM, dynamic graph
-    construction, supernode/superedge MLPs run identically on every device
-    from all-gathered embeddings.  The only supernode-direction collective
-    is one ``psum`` completing the bipartite node->supernode aggregation.
+  * **Pooled space row-blocked too** (``shard_pooled``, default on --
+    round 5; replicating it capped the 8-chip Amdahl projection at ~70%):
+    supernode rows split like node rows (``psum_scatter`` completes the
+    bipartite node->supernode reduction; one small ``all_gather([C, D])``
+    rebuilds the replicated view per use), superedges receiver-partition
+    over the supernode blocks, connected components hop on local edges
+    with one ``all_gather([n_local])`` per hop, and the bipartite kNN is
+    query-sharded with psum'd batch-norm moments.  Replicated remainder:
+    GMM-EM + cut, the C x C super-kNN, the partition argsorts, and the
+    loss (incl. auction matching).  ``shard_pooled: false`` restores the
+    fully replicated pooled layout.
   * **Bipartite edges sender-block contiguous**: kNN construction emits
     ``senders = repeat(arange(N), k)`` (ops/knn.py:knn_to_edges), so device
     d's bipartite edges are exactly the static slice
-    ``[d*n_local*k, (d+1)*n_local*k)`` -- no routing step needed.
+    ``[d*n_local*k, (d+1)*n_local*k)`` -- no routing step needed (and the
+    query-sharded kNN emits exactly this device's block directly).
 
 The cells stay untouched: all shard awareness is injected through their
 ``agg``/``gather``/``aggs``/``gathers`` parameters, which is why the param
