@@ -379,3 +379,17 @@ def test_replicated_pooled_shipped_train_step():
     assert np.isfinite(float(metrics["training_loss"]))
     for leaf in jax.tree.leaves(new_state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_pooled_shipped_embedding_hgnn_runs():
+    """Embedding-HGNN-GMM at the shipped Pallas+bf16 flags under the
+    pooled partition: finite loss/grads through the emb_output path (the
+    BC shipped test does not cover the embedding head's pooled return)."""
+    hparams, model, pipeline, ev, state = _setup("Embedding-HGNN-GMM",
+                                                 SHIPPED)
+    mesh = make_mesh(data=1, graph=4)
+    loss_fn = _sharded_loss_fn(model, pipeline, hparams, mesh, state, ev)
+    loss, grads = jax.value_and_grad(jax.jit(loss_fn))(state.params)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
