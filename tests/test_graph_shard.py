@@ -324,6 +324,7 @@ def test_sharded_embedding_hgnn_runs():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_pooled_matches_replicated_pooled():
     """shard_pooled=True vs shard_pooled=False produce the same loss and
     gradients (the pooled partition is a re-layout, not a numerics
@@ -360,6 +361,7 @@ def test_pooled_flagship_8way_grads_match(name):
     _assert_grads_close(g0, g1, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_replicated_pooled_shipped_train_step():
     """shard_pooled=False keeps the replicated-pooled layout working at the
     shipped Pallas+bf16 flags (the default train-step test now runs
@@ -381,6 +383,7 @@ def test_replicated_pooled_shipped_train_step():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_pooled_shipped_embedding_hgnn_runs():
     """Embedding-HGNN-GMM at the shipped Pallas+bf16 flags under the
     pooled partition: finite loss/grads through the emb_output path (the
