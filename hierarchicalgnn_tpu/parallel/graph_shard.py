@@ -613,11 +613,21 @@ def make_sharded_train_step(pipeline, optimizer, mesh: Mesh, hparams: dict,
             check_vma=False,
         )
 
+        # The warm-flagship matching truth is the single largest phase
+        # that would otherwise run replicated in the loss (223 ms of the
+        # 525 ms step, benchmarks/phases_r05.log): row-shard the auction's
+        # bidding sweep over the graph axis (bit-identical trajectory --
+        # its cross-shard reductions are max/min/int; train/auction.py).
+        matching_spmd = ((mesh, graph_axis)
+                         if bool(hparams.get("shard_matching", True))
+                         else None)
+
         def batched_loss(params, buffers, batch, epoch):
             ev = jax.tree.map(lambda a: a[0], batch)
             out, new_buffers = fwd(params, buffers, ev.x, ev.node_mask,
                                    ev.graph)
-            loss, metrics = pipeline.loss_from_outputs(out, ev, epoch)
+            loss, metrics = pipeline.loss_from_outputs(
+                out, ev, epoch, matching_spmd=matching_spmd)
             return loss, (new_buffers, metrics)
     else:
         def body(params, buffers, x, node_mask, graph):

@@ -58,10 +58,12 @@ NEG = -1e30
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "escalate_every",
                                              "return_iters", "use_pallas",
-                                             "interpret"))
+                                             "interpret", "axis",
+                                             "tail_cap"))
 def auction_match(pair_scores, n_particles, n_clusters, eps=None,
                   max_iters=2048, escalate_every=256, return_iters=False,
-                  use_pallas=None, interpret=False):
+                  use_pallas=None, interpret=False, axis=None,
+                  eps_scale=1e-3, tail_cap=256):
     """Maximum-weight matching of particles to candidates.
 
     pair_scores: [P, C] dense accumulated scores (padded entries ignored).
@@ -90,42 +92,111 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=None,
     tight eps (and its gap bound) is preserved; only genuine price wars pay
     the escalation slack.  Rows still unassigned at the cap take the
     conservative unmatched label.
+
+    ``axis`` (static): name of a ``shard_map`` mesh axis the PARTICLE ROWS
+    are partitioned over.  ``pair_scores`` is then the local ``[P/G, C]``
+    row block and the returned ``(col_match, matched)`` are local rows too
+    (``out_specs=P(axis)`` reassembles the global arrays).  Every
+    per-round quantity is row-local except the column-side reductions --
+    ``best_bid`` (pmax), ``winner_row`` (pmin) and the unassigned count
+    (psum) -- all order-insensitive max/min/int reductions, so the sharded
+    trajectory is BIT-IDENTICAL to the replicated one
+    (tests/test_auction.py::test_auction_sharded_parity).  Per round that
+    is 2 x [C]-vector + 1 scalar collectives (~24 KB at C=3072): at 8
+    chips the 38 MB bidding sweep divides by 8 while the collective
+    latency adds ~20 us/round -- the measured 223 ms replicated warm-
+    flagship matching (benchmarks/phases_r05.log) becomes ~28 ms compute
+    + ~13 ms latency.
     """
     p, c = pair_scores.shape
-    row_valid = jnp.arange(p) < n_particles
+    if axis is not None:
+        n_shards = jax.lax.psum(1, axis)
+        p_total = p * n_shards
+        gids = jax.lax.axis_index(axis) * p + jnp.arange(p)
+    else:
+        p_total = p
+        gids = jnp.arange(p)
+    row_valid = gids < n_particles
     col_valid = jnp.arange(c) < n_clusters
     a = jnp.where(row_valid[:, None] & col_valid[None, :],
                   pair_scores.astype(jnp.float32), NEG)
 
+    def _gmax(x):
+        return jax.lax.pmax(x, axis) if axis is not None else x
+
+    def _gmin(x):
+        return jax.lax.pmin(x, axis) if axis is not None else x
+
+    def _gsum(x):
+        return jax.lax.psum(x, axis) if axis is not None else x
+
     if eps is None:
+        # eps = eps_scale x mean positive row-max: the n*eps optimality
+        # gap is ~eps_scale of the objective.  1e-3 is the conservative
+        # default; 1e-2 is the measured round-count/gap sweet spot on the
+        # warm-flagship instance (218 vs 633 rounds at 0.027% vs 0.002%
+        # gap -- benchmarks/matching_eps_sweep_r05.json), shipped in the
+        # flagship configs as matching_eps_scale.
         row_max = jnp.max(a, axis=1)
         pos = row_max > 0
-        eps = 1e-3 * jnp.sum(jnp.where(pos, row_max, 0.0)) \
-            / jnp.maximum(jnp.sum(pos), 1)
+        eps = eps_scale * _gsum(jnp.sum(jnp.where(pos, row_max, 0.0))) \
+            / jnp.maximum(_gsum(jnp.sum(pos)), 1)
         eps = jnp.maximum(eps, 1e-6)
 
     unassigned_init = jnp.where(row_valid, -1, -2).astype(jnp.int32)
     pallas_top2 = (use_pallas if use_pallas is not None
                    else (interpret or jax.default_backend() == "tpu"))
 
+    def _sweep(a_rows, prices):
+        """Per-row (best, argbest, second-best) of ``a_rows - prices``."""
+        if pallas_top2:
+            # one HBM pass over [rows, C] instead of XLA's 2-3
+            from hierarchicalgnn_tpu.ops.pallas.top2 import row_top2
+            return row_top2(a_rows, prices, interpret=interpret)
+        net = a_rows - prices[None, :]
+        v1 = jnp.max(net, axis=1)
+        j1 = jnp.argmax(net, axis=1).astype(jnp.int32)
+        # second-best via a fused masked reduction (the where re-derives
+        # from net inside the same fusion; nothing is written to HBM)
+        v2 = jnp.max(jnp.where(
+            jnp.arange(c)[None, :] == j1[:, None], NEG, net), axis=1)
+        return v1, j1, v2
+
     def body(state):
         prices, assign, eps_cur, _, it, best_cnt, stuck = state
         # assign: -1 unassigned, -2 virtual, >=0 candidate id
         unassigned = (assign == -1) & row_valid
 
-        if pallas_top2:
-            # one HBM pass over [P, C] instead of XLA's 2-3
-            from hierarchicalgnn_tpu.ops.pallas.top2 import row_top2
-            v1, j1, v2 = row_top2(a, prices, interpret=interpret)
+        # TAIL COMPACTION: the drain profile is a fast bulk then a long
+        # small-set price war (the measured warm-flagship instance spends
+        # ~190 of 218 rounds on <256 unassigned rows); once the LOCAL
+        # unassigned count fits tail_cap, sweep only those rows' gathered
+        # [tail_cap, C] block instead of the full [P, C] matrix.  Only
+        # unassigned rows ever bid, so the round outcome is BIT-IDENTICAL
+        # to the full sweep; rows displaced later re-enter the next
+        # round's recomputed set.  The branch decision is per-shard local
+        # (no collective; the sweeps themselves contain none).
+        n_local_un = jnp.sum(unassigned)
+
+        def full_sweep(_):
+            return _sweep(a, prices)
+
+        def tail_sweep(_):
+            ids = jnp.sort(jnp.where(unassigned, jnp.arange(p), p))
+            ids = jnp.minimum(ids[:tail_cap], p - 1)
+            v1s, j1s, v2s = _sweep(a[ids], prices)
+            # scatter back; non-set rows get NEG/0 but every consumer is
+            # masked by ``unassigned`` (set rows cover all of them)
+            v1 = jnp.full((p,), NEG, jnp.float32).at[ids].set(v1s)
+            j1 = jnp.zeros((p,), jnp.int32).at[ids].set(j1s)
+            v2 = jnp.full((p,), NEG, jnp.float32).at[ids].set(v2s)
+            return v1, j1, v2
+
+        if tail_cap and tail_cap < p:
+            v1, j1, v2 = jax.lax.cond(n_local_un <= tail_cap,
+                                      tail_sweep, full_sweep, None)
         else:
-            net = a - prices[None, :]
-            v1 = jnp.max(net, axis=1)
-            j1 = jnp.argmax(net, axis=1).astype(jnp.int32)
-            # second-best via a fused masked reduction (the where
-            # re-derives from net inside the same fusion; nothing is
-            # written back to HBM)
-            v2 = jnp.max(jnp.where(
-                jnp.arange(c)[None, :] == j1[:, None], NEG, net), axis=1)
+            v1, j1, v2 = full_sweep(None)
 
         # private virtual escape: no competition, prices never drop, so a
         # virtual-best row retires permanently
@@ -136,25 +207,26 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=None,
 
         # column auction: highest bid wins; tie-break by row index
         bids = jnp.where(bid_rows, bid_amount, NEG)
-        best_bid = jax.ops.segment_max(bids, j1, num_segments=c)
+        best_bid = _gmax(jax.ops.segment_max(bids, j1, num_segments=c))
         is_best = bid_rows & (bids >= best_bid[j1])
-        # unique winner per column: lowest row index among best bidders
-        winner_row = jax.ops.segment_min(
-            jnp.where(is_best, jnp.arange(p), p), j1, num_segments=c)
-        won = is_best & (winner_row[j1] == jnp.arange(p))
+        # unique winner per column: lowest (global) row index among best
+        # bidders; a column with no bid reduces to the p_total sentinel
+        winner_row = _gmin(jax.ops.segment_min(
+            jnp.where(is_best, gids, p_total), j1, num_segments=c))
+        won = is_best & (winner_row[j1] == gids)
 
-        # displace previous owners of won columns (scatter-OR: plain .set
-        # has undefined ordering and non-winners would clobber column 0)
-        col_won = jnp.zeros((c,), bool).at[jnp.where(won, j1, 0)].max(won)
+        # displace previous owners of won columns (the winner's bid IS
+        # best_bid, so the price update needs no scatter)
+        col_won = winner_row < p_total
         displaced = (assign >= 0) & col_won[jnp.clip(assign, 0, c - 1)]
 
         new_assign = jnp.where(displaced, -1, assign)
         new_assign = jnp.where(won, j1, new_assign)
         new_assign = jnp.where(take_virtual, -2, new_assign)
-        new_prices = prices.at[jnp.where(won, j1, 0)].max(
-            jnp.where(won, bids, NEG))
+        new_prices = jnp.where(col_won, jnp.maximum(prices, best_bid),
+                               prices)
 
-        n_unassigned = jnp.sum((new_assign == -1) & row_valid)
+        n_unassigned = _gsum(jnp.sum((new_assign == -1) & row_valid))
         if escalate_every:
             improved = n_unassigned < best_cnt
             stuck = jnp.where(improved, 0, stuck + 1)
@@ -172,12 +244,12 @@ def auction_match(pair_scores, n_particles, n_clusters, eps=None,
     prices0 = jnp.zeros((c,), jnp.float32)
     prices, assign, _, _, it, _, _ = jax.lax.while_loop(
         cond, body, (prices0, unassigned_init, jnp.asarray(eps, jnp.float32),
-                     jnp.asarray(True), 0, jnp.asarray(p, jnp.int32),
+                     jnp.asarray(True), 0, jnp.asarray(p_total, jnp.int32),
                      jnp.asarray(0, jnp.int32)))
 
     matched = (assign >= 0) & row_valid
     col_match = jnp.where(matched, assign, 0).astype(jnp.int32)
     if return_iters:
-        n_unassigned = jnp.sum((assign == -1) & row_valid)
+        n_unassigned = _gsum(jnp.sum((assign == -1) & row_valid))
         return col_match, matched, it, n_unassigned
     return col_match, matched

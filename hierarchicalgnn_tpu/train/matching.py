@@ -58,11 +58,13 @@ def _host_matching(pair_scores, n_particles, n_clusters, p_max):
     return out_r, out_c, out_v
 
 
-@functools.partial(jax.jit, static_argnames=("max_clusters", "backend"))
+@functools.partial(jax.jit, static_argnames=("max_clusters", "backend",
+                                             "mesh", "axis", "eps_scale"))
 def match_particles_to_candidates(scores, bip_senders, bip_receivers,
                                   bip_mask, pid_compact, particle_pid,
                                   n_particles, n_clusters, max_clusters,
-                                  backend="auction"):
+                                  backend="auction", mesh=None, axis=None,
+                                  eps_scale=1e-3):
     """Returns (truth bool[E_b], row_match, col_match, match_valid).
 
     truth[e] = True iff the particle of hit bip_senders[e] was matched to
@@ -72,22 +74,66 @@ def match_particles_to_candidates(scores, bip_senders, bip_receivers,
     ``backend``: "auction" (on-device Bertsekas auction, default -- the
     TPU runtime here has no host-callback support) or "host" (scipy exact
     matching via pure_callback, for CPU/GPU runs and as the test oracle).
+
+    ``mesh``/``axis`` (static, auction backend only): run the auction's
+    bidding sweep row-partitioned over that mesh axis via ``shard_map``
+    (bit-identical results -- the cross-shard reductions are max/min/int;
+    see train/auction.py).  Used by the graph-partitioned train step: the
+    warm-flagship matching is otherwise the single largest REPLICATED
+    phase of the sharded step (223 ms of 525 ms,
+    benchmarks/phases_r05.log).  Falls back to the replicated auction
+    when the row count does not divide over the axis.
     """
     p_max = particle_pid.shape[0]
 
-    # Accumulate sum of scores per (particle, candidate) on device.
+    # (particle, candidate) flat keys; the dense accumulated pair-score
+    # matrix is built lazily -- the sharded path never materializes it
+    # replicated (the 122k-edge scatter into [P, C] costs ~66 ms at the
+    # warm flagship, benchmarks/probe_matching_r05.json vs the phases
+    # probe: it was the larger half of the 223 ms matching phase).
     part_of_edge = pid_compact[bip_senders]
     flat = part_of_edge * max_clusters + bip_receivers
-    pair_scores = segment_sum(
-        jnp.where(bip_mask, scores, 0.0), flat, p_max * max_clusters
-    ).reshape(p_max, max_clusters)
+
+    def _dense_pair_scores():
+        return segment_sum(
+            jnp.where(bip_mask, scores, 0.0), flat, p_max * max_clusters
+        ).reshape(p_max, max_clusters)
 
     if backend == "auction":
         from hierarchicalgnn_tpu.train.auction import auction_match
-        col_match, valid = auction_match(pair_scores, n_particles,
-                                         n_clusters)
+        g = mesh.shape[axis] if mesh is not None else 0
+        e_bip = bip_senders.shape[0]
+        if mesh is not None and p_max % g == 0 and e_bip % g == 0:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            # Fused sharded build+match: each device scatters its edge
+            # BLOCK into a zero [P, C], one psum_scatter delivers exactly
+            # this device's auction row block (scatter work and bidding
+            # sweeps both divide by G; rows arrive in the order
+            # auction_match's axis mode indexes them).
+            def build_and_match(sc, fl, msk, n_p, n_c):
+                ps = segment_sum(jnp.where(msk, sc, 0.0), fl,
+                                 p_max * max_clusters
+                                 ).reshape(p_max, max_clusters)
+                ps_local = jax.lax.psum_scatter(
+                    ps, axis, scatter_dimension=0, tiled=True)
+                return auction_match(ps_local, n_p, n_c, axis=axis,
+                                     eps_scale=eps_scale)
+
+            sharded = shard_map(
+                build_and_match, mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(), P()),
+                out_specs=(P(axis), P(axis)), check_vma=False)
+            col_match, valid = sharded(scores, flat, bip_mask,
+                                       n_particles, n_clusters)
+        else:
+            col_match, valid = auction_match(_dense_pair_scores(),
+                                             n_particles, n_clusters,
+                                             eps_scale=eps_scale)
         row_match = jnp.arange(p_max, dtype=jnp.int32)
     else:
+        pair_scores = _dense_pair_scores()
         row_match, col_match, valid = jax.pure_callback(
             functools.partial(_host_matching, p_max=p_max),
             (jax.ShapeDtypeStruct((p_max,), jnp.int32),

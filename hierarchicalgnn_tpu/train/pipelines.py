@@ -59,7 +59,8 @@ class ECPipeline:
         loss, metrics = self.loss_from_outputs(scores, batch, epoch)
         return loss, (new_buffers, metrics)
 
-    def loss_from_outputs(self, scores, batch: Event, epoch):
+    def loss_from_outputs(self, scores, batch: Event, epoch,
+                          matching_spmd=None):
         hp = self.hparams
         emask = batch.graph.edge_mask
         if hp["true_edges"] == "modulewise_true_edges":
@@ -156,7 +157,8 @@ class EmbeddingPipeline:
         loss, metrics = self.loss_from_outputs(out, batch, epoch)
         return loss, (new_buffers, metrics)
 
-    def loss_from_outputs(self, out, batch: Event, epoch):
+    def loss_from_outputs(self, out, batch: Event, epoch,
+                          matching_spmd=None):
         hp = self.hparams
         metrics: dict[str, Any] = {}
         if self.hierarchical:
@@ -202,7 +204,8 @@ class BipartitePipeline:
         loss, metrics = self.loss_from_outputs(out, batch, epoch)
         return loss, (new_buffers, metrics)
 
-    def loss_from_outputs(self, out, batch: Event, epoch):
+    def loss_from_outputs(self, out, batch: Event, epoch,
+                          matching_spmd=None):
         hp = self.hparams
         bgraph, scores, intermediate, aux = out
 
@@ -215,7 +218,8 @@ class BipartitePipeline:
         emb_loss = losses.squared_hinge_loss(
             dist / hp["train_r"], y_pid, weights, margin=1.0)
 
-        asgmt_loss = self._bipartite_loss(scores, bgraph, batch, aux)
+        asgmt_loss = self._bipartite_loss(scores, bgraph, batch, aux,
+                                          matching_spmd=matching_spmd)
 
         sched = losses.sine_loss_schedule(
             epoch, hp["emb_epoch"], hp.get("loss_schedule"))
@@ -226,14 +230,18 @@ class BipartitePipeline:
                    "clusters": aux["n_clusters"]}
         return loss, metrics
 
-    def _bipartite_loss(self, scores, bgraph: Graph, batch: Event, aux):
+    def _bipartite_loss(self, scores, bgraph: Graph, batch: Event, aux,
+                        matching_spmd=None):
         """Assignment BCE against matching truth (reference :152-191)."""
         hp = self.hparams
+        mesh, axis = matching_spmd if matching_spmd else (None, None)
         truth, row_match, col_match, match_valid = match_particles_to_candidates(
             jax.lax.stop_gradient(scores), bgraph.senders, bgraph.receivers,
             bgraph.edge_mask, batch.pid_compact, batch.particle_pid,
             batch.n_particles, aux["n_clusters"], hp["max_clusters"],
-            backend=hp.get("matching_backend", "auction"))
+            backend=hp.get("matching_backend", "auction"),
+            mesh=mesh, axis=axis,
+            eps_scale=float(hp.get("matching_eps_scale", 1e-3)))
 
         # assignment weight: max(hit weight, matched-particle weight)
         # (reference get_asgmt_weight :123-138)

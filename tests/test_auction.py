@@ -249,8 +249,11 @@ def test_auction_truth_quality_across_training(rng):
                 bgraph.edge_mask, batch.pid_compact, batch.particle_pid,
                 batch.n_particles, aux["n_clusters"],
                 hparams["max_clusters"])
+        # eps_scale as shipped in the config under test (the flagship
+        # YAML ships the 1e-2 round-count/gap sweet spot)
         t_auc, r_a, c_a, v_a = match_particles_to_candidates(
-            *args, backend="auction")
+            *args, backend="auction",
+            eps_scale=float(hparams.get("matching_eps_scale", 1e-3)))
         t_sci, r_s, c_s, v_s = match_particles_to_candidates(
             *args, backend="host")
 
@@ -289,3 +292,115 @@ def test_auction_truth_quality_across_training(rng):
         for batch in evs:
             state = train_step(state, batch, epoch)
     compare(state, evs[0], "final")
+
+
+def test_auction_sharded_parity(rng):
+    """Row-sharded auction (shard_map over the graph axis) is BIT-identical
+    to the replicated auction: every cross-shard reduction in the round is
+    a max/min/int-sum (train/auction.py ``axis``), so the price/assignment
+    trajectory cannot diverge."""
+    import functools
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from hierarchicalgnn_tpu.parallel.mesh import make_mesh
+
+    p_max, c_max = 256, 96
+    p, c = 241, 77
+    scores = np.zeros((p_max, c_max), np.float32)
+    m = rng.random((p, c)) < 0.15
+    scores[:p, :c][m] = rng.uniform(0.1, 5.0, m.sum()).astype(np.float32)
+    # near-tie block: forces multi-round price wars (and escalation
+    # bookkeeping) through the sharded reductions
+    scores[:40, :5] = 3.0 + rng.uniform(0, 1e-3, (40, 5)).astype(np.float32)
+
+    ref_cm, ref_ok = auction_match(jnp.asarray(scores), p, c)
+
+    mesh = make_mesh(data=1, graph=8)
+    f = shard_map(functools.partial(auction_match, axis="graph"),
+                  mesh=mesh, in_specs=(P("graph"), P(), P()),
+                  out_specs=(P("graph"), P("graph")), check_vma=False)
+    cm, ok = f(jnp.asarray(scores), jnp.int32(p), jnp.int32(c))
+
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(ref_cm))
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ref_ok))
+
+
+def test_matching_sharded_in_loss_path(rng):
+    """match_particles_to_candidates with mesh/axis set returns exactly the
+    replicated result (the seam the sharded train step uses)."""
+    from hierarchicalgnn_tpu.parallel.mesh import make_mesh
+    from hierarchicalgnn_tpu.train.matching import (
+        match_particles_to_candidates)
+
+    p_max, c_max = 64, 32
+    n_hits, n_edges = 128, 256
+    senders = rng.integers(0, n_hits, n_edges).astype(np.int32)
+    receivers = rng.integers(0, c_max, n_edges).astype(np.int32)
+    emask = rng.random(n_edges) < 0.9
+    # dyadic scores: per-(row, col) sums are EXACT in f32, so the sharded
+    # path's different summation order (per-shard scatter + psum_scatter)
+    # cannot perturb the pair matrix and bit-parity is assertable
+    scores = (rng.integers(1, 256, n_edges) / 256.0).astype(np.float32)
+    pid_compact = rng.integers(0, p_max, n_hits).astype(np.int32)
+    particle_pid = rng.integers(1, 10_000, p_max).astype(np.int64)
+
+    args = (jnp.asarray(scores), jnp.asarray(senders),
+            jnp.asarray(receivers), jnp.asarray(emask),
+            jnp.asarray(pid_compact), jnp.asarray(particle_pid),
+            jnp.int32(50), jnp.int32(25), c_max)
+    ref = match_particles_to_candidates(*args)
+    mesh = make_mesh(data=1, graph=8)
+    out = match_particles_to_candidates(*args, mesh=mesh, axis="graph")
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auction_tail_compaction_parity(rng):
+    """tail_cap sweeps only the gathered unassigned rows once the count
+    drains below the cap -- the trajectory must stay BIT-identical to the
+    full sweep (only unassigned rows ever bid)."""
+    p_max, c_max = 512, 160
+    p, c = 490, 150
+    scores = np.zeros((p_max, c_max), np.float32)
+    m = rng.random((p, c)) < 0.08
+    scores[:p, :c][m] = rng.uniform(0.1, 5.0, m.sum()).astype(np.float32)
+    # near-tie war pocket to keep a small set fighting well past the
+    # bulk drain (the tail-mode regime)
+    scores[:30, :4] = 2.0 + rng.uniform(0, 1e-3, (30, 4)).astype(np.float32)
+
+    cm_full, ok_full = auction_match(jnp.asarray(scores), p, c, tail_cap=0)
+    cm_tail, ok_tail = auction_match(jnp.asarray(scores), p, c, tail_cap=64)
+    np.testing.assert_array_equal(np.asarray(cm_full), np.asarray(cm_tail))
+    np.testing.assert_array_equal(np.asarray(ok_full), np.asarray(ok_tail))
+
+
+def test_auction_sharded_tail_parity(rng):
+    """Sharded mode + tail compaction together: the tail branch decision
+    is per-shard LOCAL (no collective), and the result must still equal
+    the replicated full-sweep auction bit-for-bit."""
+    import functools
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from hierarchicalgnn_tpu.parallel.mesh import make_mesh
+
+    p_max, c_max = 256, 96
+    p, c = 230, 80
+    scores = np.zeros((p_max, c_max), np.float32)
+    m = rng.random((p, c)) < 0.2
+    scores[:p, :c][m] = rng.uniform(0.1, 5.0, m.sum()).astype(np.float32)
+    scores[:24, :3] = 3.0 + rng.uniform(0, 1e-3, (24, 3)).astype(np.float32)
+
+    ref_cm, ref_ok = auction_match(jnp.asarray(scores), p, c, tail_cap=0)
+
+    mesh = make_mesh(data=1, graph=8)
+    f = shard_map(functools.partial(auction_match, axis="graph",
+                                    tail_cap=8),
+                  mesh=mesh, in_specs=(P("graph"), P(), P()),
+                  out_specs=(P("graph"), P("graph")), check_vma=False)
+    cm, ok = f(jnp.asarray(scores), jnp.int32(p), jnp.int32(c))
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(ref_cm))
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ref_ok))
