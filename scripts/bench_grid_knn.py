@@ -113,11 +113,14 @@ def bench_kernel(n, k, r_max, iters, n_cells, n_probe, batch_cells):
 BUCKET_131K = {
     # The >=100k-hit size bucket (reference full-event regime).
     "n_nodes_max": 131072,
-    "n_edges_max": 131072,
+    "n_edges_max": 262144,
     "max_particles": 20480,
     "train_split": [1, 1, 1],
     "use_pallas": True,
     "compute_dtype": "bfloat16",
+    # 131k nodes x latent 256 x 6 iters of saved activations exceed the
+    # 16G HBM without remat (measured: 24.7G requested)
+    "remat": True,
     "knn": 100,
     "knn_block_size": 1024,
 }

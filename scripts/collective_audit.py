@@ -150,6 +150,61 @@ def ring_traffic_bytes(kind, nbytes, g):
     return 0
 
 
+def _warm_projection(args, colls):
+    """Efficiency projection at the MEASURED WARM state (the state that
+    exposed the auction matching as the dominant would-be-replicated
+    phase): the matching runs row-SHARDED over the graph axis
+    (train/auction.py ``axis``), so its bidding compute divides by G
+    while each round pays one [C] f32 pmax + one [C] i32 pmin of
+    collective latency.  Round count at the shipped matching_eps_scale
+    comes from the committed sweep on the real warm pair-score matrix.
+    bf16-adjusted ici scale (0.5x) per the cpu_lowering_caveat."""
+    if args.warm_step_ms is None or args.matching_warm_ms is None:
+        return None
+    t_warm = args.warm_step_ms
+    m_meas = args.matching_warm_ms
+    m_ship = (args.matching_ship_ms if args.matching_ship_ms is not None
+              else m_meas * args.matching_rounds
+              / args.matching_rounds_measured)
+    repl = args.replicated_ms or 0.0
+    if args.matching_ship_ms is None:
+        # the phase probe's replicated remainder includes the loss (and
+        # so the matching) -- remove the matching part, now sharded
+        repl = max(repl - m_meas, 3.0)
+    # else: the caller passed the non-matching remainder directly
+    # (itemized: GMM-EM+cut 1.4, super-kNN 3.9, partition argsorts 0.1,
+    # CC pointer-jump residue 6.2, label compaction 0.7)
+    t1 = t_warm - m_meas + m_ship          # 1-chip step at the shipped eps
+    par = max(t1 - repl - m_ship, 0.0)
+    rows = []
+    for gi in (2, 4, 8):
+        traffic = 0.5 * sum(ring_traffic_bytes(k, b, gi)
+                            for k, b, _ in colls)
+        t_ici = traffic / (args.ring_gbps * 1e9) * 1e3
+        t_auction = (m_ship / gi
+                     + args.matching_rounds * args.auction_round_us * 1e-3)
+        t_g = repl + par / gi + t_auction + t_ici
+        rows.append({
+            "devices": gi,
+            "t_ici_ms": round(t_ici, 3),
+            "t_auction_sharded_ms": round(t_auction, 2),
+            "t_step_ms": round(t_g, 2),
+            "efficiency": round(t1 / (gi * t_g), 4)})
+    return {
+        "inputs": {
+            "warm_step_ms_at_default_eps": t_warm,
+            "matching_warm_ms_at_default_eps": m_meas,
+            "matching_rounds_default": args.matching_rounds_measured,
+            "matching_rounds_shipped": args.matching_rounds,
+            "matching_ms_shipped": round(m_ship, 1),
+            "one_chip_warm_step_ms_shipped_eps": round(t1, 1),
+            "replicated_remainder_ms_excl_matching": round(repl, 1),
+            "auction_round_us": args.auction_round_us,
+        },
+        "rows": rows,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=8)
@@ -164,6 +219,30 @@ def main():
                     help="measured replicated-remainder time under the "
                          "pooled partition (chip phase probes); adds a "
                          "rho=measured row to the projection")
+    ap.add_argument("--warm-step-ms", type=float, default=None,
+                    help="measured WARM-state flagship step "
+                         "(profile_phases train_step_warm); enables the "
+                         "warm_state_projection section")
+    ap.add_argument("--matching-warm-ms", type=float, default=None,
+                    help="measured warm auction matching cost, replicated "
+                         "(profile_phases matching_warm_ms)")
+    ap.add_argument("--matching-rounds-measured", type=int, default=633,
+                    help="auction rounds at which --matching-warm-ms was "
+                         "measured (eps_scale=1e-3 default point)")
+    ap.add_argument("--matching-rounds", type=int, default=218,
+                    help="auction rounds at the SHIPPED eps point "
+                         "(matching_eps_scale, "
+                         "benchmarks/matching_eps_sweep_r05.json)")
+    ap.add_argument("--matching-ship-ms", type=float, default=None,
+                    help="MEASURED 1-chip matching cost at the shipped "
+                         "eps point, incl. the pair-matrix build "
+                         "(probe_matching_r05.json shipped_tail256.ms + "
+                         "the ~66 ms build the phases probe isolates); "
+                         "overrides the rounds-ratio estimate")
+    ap.add_argument("--auction-round-us", type=float, default=20.0,
+                    help="per-round sharded-auction collective latency: "
+                         "one [C] f32 pmax + one [C] i32 pmin "
+                         "(train/auction.py axis mode)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -235,12 +314,13 @@ def main():
                  "the pooled space (supernode/superedge MLPs and "
                  "aggregations, connected components, bipartite kNN, "
                  "cluster means) is PARTITIONED (shard_pooled, "
-                 "parallel/graph_shard.py); what remains replicated is "
-                 "GMM-EM+cut (~1.4 ms), the C x C super-kNN (~2 ms), "
-                 "auction matching (~0.3 ms warm), edge-partition/plan "
-                 "argsorts and the CC pointer jumps -- the measured "
-                 "remainder bound is recorded in "
-                 "replicated_remainder_ms."),
+                 "parallel/graph_shard.py) and the auction matching runs "
+                 "row-SHARDED over the graph axis (train/auction.py; see "
+                 "warm_state_projection); what remains replicated is "
+                 "GMM-EM+cut (~1.4 ms), the C x C super-kNN (~4 ms), "
+                 "edge-partition/plan argsorts, the non-matching loss and "
+                 "the CC pointer jumps -- the measured remainder bound is "
+                 "recorded in replicated_remainder_ms."),
         "shard_pooled": bool(hparams.get("shard_pooled", True)),
         "replicated_remainder_ms": args.replicated_ms,
         "while_loop_caveat": (
@@ -258,6 +338,7 @@ def main():
             ({"kind": k, "result_bytes": b, "hlo": l} for k, b, l in colls),
             key=lambda d: -d["result_bytes"])[:8],
         "projection": [project(gi) for gi in (2, 4, 8)],
+        "warm_state_projection": _warm_projection(args, colls),
         # The CPU backend upcasts the bf16 data path to f32 before
         # lowering, so the [N, latent] halo gathers (and their backward
         # scatters) appear at twice their TPU width here.  The data-path

@@ -64,6 +64,19 @@ def main():
         grads = jax.grad(loss_fn)(params)
         return jax.tree.map(lambda p, g: p - 1e-3 * g, params, grads)
 
+    # jax.export refuses PyTreeDefs with unregistered custom nodes; the
+    # batch/buffer trees carry the package's NamedTuple containers.
+    from hierarchicalgnn_tpu.data.event import Event
+    from hierarchicalgnn_tpu.ops.gmm import GMM2
+    from hierarchicalgnn_tpu.ops.graph import Graph
+    for cls in (Graph, GMM2, Event):
+        try:
+            jax.export.register_namedtuple_serialization(
+                cls,
+                serialized_name=f"{cls.__module__}.{cls.__name__}")
+        except ValueError:
+            pass  # already registered (repeated runs in one process)
+
     print("lowering + exporting (no compile)...", flush=True)
     exported = jax.export.export(jax.jit(grad_sgd))(
         state.params, state.buffers, batch)

@@ -77,6 +77,11 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--out", default=None)
     ap.add_argument("--particles", type=int, default=200)
+    ap.add_argument("--flagship", action="store_true",
+                    help="pad to the flagship regime (24k nodes / 49k "
+                         "edges / 3072 clusters, the shape the collective "
+                         "audit and roofline use); pair with "
+                         "--particles 3000")
     args = ap.parse_args()
 
     from hierarchicalgnn_tpu.data.event import preprocess_event
@@ -90,7 +95,10 @@ def main():
     from hierarchicalgnn_tpu.train.trainer import Trainer
 
     # the SHIPPED config: configs/bc_hgnn_gmm.yaml defaults (Pallas + bf16)
-    hparams, model, pipeline = model_selector("BC-HGNN-GMM", {})
+    ov = ({"n_nodes_max": 24576, "n_edges_max": 49152,
+           "max_clusters": 3072, "max_particles": 4096,
+           "train_split": [1, 1, 1]} if args.flagship else {})
+    hparams, model, pipeline = model_selector("BC-HGNN-GMM", ov)
     raw = generate_event(np.random.default_rng(0),
                          n_particles=args.particles)
     ev = jax.tree.map(jnp.asarray, preprocess_event(raw, hparams))
@@ -136,7 +144,8 @@ def main():
     dt_shard = _timed_steps(sharded_inner, state0, batch, args.steps)
 
     result = {
-        "config": "configs/bc_hgnn_gmm.yaml defaults (Pallas + bf16)",
+        "config": ("configs/bc_hgnn_gmm.yaml defaults (Pallas + bf16)"
+                   + (", FLAGSHIP shape" if args.flagship else "")),
         "platform": jax.devices()[0].platform,
         "n_devices": jax.device_count(),
         "padded_edges": e_cap,
